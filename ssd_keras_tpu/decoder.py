@@ -1,0 +1,387 @@
+"""Decoding raw SSD predictions into detections.
+
+Two complementary paths, mirroring the reference's split:
+
+1. **In-graph, fixed-shape** (:func:`decode_detections_fixed` /
+   :func:`decode_detections_fast_fixed`): the TPU-native counterpart of the
+   ``DecodeDetections`` / ``DecodeDetectionsFast`` Keras layers
+   (/root/reference/keras_layers/keras_layer_DecodeDetections.py:27,
+   keras_layer_DecodeDetectionsFast.py:29). Output is a static
+   ``(batch, top_k, 6)`` tensor ``[class_id, conf, xmin, ymin, xmax, ymax]``
+   with zero-padding, jit/vmap/pmap-safe, no host round trips.
+
+2. **Host-side NumPy** (:func:`decode_detections` /
+   :func:`decode_detections_fast`): ragged per-image outputs with semantics
+   matching /root/reference/ssd_encoder_decoder/ssd_output_decoder.py:111,228
+   (used with 'training'-mode models and by the evaluator).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssd_keras_tpu.ops import boxes as box_ops
+from ssd_keras_tpu.ops.nms import greedy_nms_mask
+
+__all__ = [
+    "decode_offsets",
+    "decode_detections_fixed",
+    "decode_detections_fast_fixed",
+    "decode_detections",
+    "decode_detections_fast",
+    "greedy_nms",
+]
+
+
+# --------------------------------------------------------------------------- #
+# Shared offset -> corner-coordinates algebra
+# --------------------------------------------------------------------------- #
+
+
+def decode_offsets(
+    y_pred,
+    input_coords: str = "centroids",
+    normalize_coords: bool = True,
+    img_height: Optional[int] = None,
+    img_width: Optional[int] = None,
+    xp=np,
+):
+    """Invert the encoder's offset/variance algebra.
+
+    ``y_pred``: (..., #boxes, n_classes + 12). Returns corner-format absolute
+    (or still-normalized if ``normalize_coords=False``) coordinates of shape
+    (..., #boxes, 4). Parity: ssd_output_decoder.py:174-198.
+    """
+    anchors = y_pred[..., -8:-4]
+    variances = y_pred[..., -4:]
+    offsets = y_pred[..., -12:-8]
+
+    if input_coords == "centroids":
+        # (cx, cy, w, h) anchors
+        wh = xp.exp(offsets[..., 2:4] * variances[..., 2:4]) * anchors[..., 2:4]
+        cxy = offsets[..., 0:2] * variances[..., 0:2] * anchors[..., 2:4] + anchors[..., 0:2]
+        cent = xp.concatenate([cxy, wh], axis=-1)
+        corners = box_ops.convert_coordinates(cent, -4, "centroids2corners", xp=xp)
+    elif input_coords == "minmax":
+        w = (anchors[..., 1] - anchors[..., 0])[..., None]
+        h = (anchors[..., 3] - anchors[..., 2])[..., None]
+        size = xp.concatenate([w, w, h, h], axis=-1)
+        mm = offsets * variances * size + anchors
+        corners = box_ops.convert_coordinates(mm, -4, "minmax2corners", xp=xp)
+    elif input_coords == "corners":
+        w = (anchors[..., 2] - anchors[..., 0])[..., None]
+        h = (anchors[..., 3] - anchors[..., 1])[..., None]
+        size = xp.concatenate([w, h, w, h], axis=-1)
+        corners = offsets * variances * size + anchors
+    else:
+        raise ValueError(f"Unexpected input_coords {input_coords!r}.")
+
+    if normalize_coords:
+        if img_height is None or img_width is None:
+            raise ValueError(
+                "img_height and img_width are required when normalize_coords=True."
+            )
+        scale = xp.asarray(
+            [img_width, img_height, img_width, img_height], dtype=corners.dtype
+        )
+        corners = corners * scale
+    return corners
+
+
+# --------------------------------------------------------------------------- #
+# Fixed-shape in-graph decoders (TPU path)
+# --------------------------------------------------------------------------- #
+
+
+def _decode_one_caffe(
+    confs, corners, *, confidence_thresh, iou_threshold, top_k, nms_max_output_size
+):
+    """Per-image Caffe-faithful decode: per-class threshold+NMS, global top-k."""
+    n_classes = confs.shape[-1]
+    # Small models (e.g. SSD7) can have fewer boxes than the NMS cap.
+    nms_max_output_size = min(nms_max_output_size, corners.shape[0])
+
+    def per_class(scores_c):
+        eligible = scores_c > confidence_thresh
+        masked = jnp.where(eligible, scores_c, -1.0)
+        cand_scores, cand_idx = jax.lax.top_k(masked, nms_max_output_size)
+        cand_boxes = corners[cand_idx]
+        valid = cand_scores > confidence_thresh
+        keep = greedy_nms_mask(cand_boxes, valid, iou_threshold)
+        return jnp.where(keep, cand_scores, 0.0), cand_boxes
+
+    # vmap over positive classes 1..C-1 (class 0 = background is skipped,
+    # keras_layer_DecodeDetections.py:219-226).
+    scores_pc, boxes_pc = jax.vmap(per_class)(confs[:, 1:].T)  # (C-1, K), (C-1, K, 4)
+    class_ids = jnp.broadcast_to(
+        jnp.arange(1, n_classes, dtype=confs.dtype)[:, None], scores_pc.shape
+    )
+
+    flat_scores = scores_pc.reshape(-1)
+    flat_boxes = boxes_pc.reshape(-1, 4)
+    flat_classes = class_ids.reshape(-1)
+
+    k_eff = min(top_k, flat_scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(flat_scores, k_eff)
+    out = jnp.concatenate(
+        [
+            flat_classes[top_idx][:, None],
+            top_scores[:, None],
+            flat_boxes[top_idx],
+        ],
+        axis=1,
+    )
+    # Zero out padding rows entirely (reference pads with zeros, :238-251).
+    out = jnp.where((top_scores > 0.0)[:, None], out, 0.0)
+    if k_eff < top_k:
+        out = jnp.pad(out, ((0, top_k - k_eff), (0, 0)))
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "confidence_thresh", "iou_threshold", "top_k", "nms_max_output_size",
+        "input_coords", "normalize_coords", "img_height", "img_width",
+    ),
+)
+def decode_detections_fixed(
+    y_pred,
+    confidence_thresh: float = 0.01,
+    iou_threshold: float = 0.45,
+    top_k: int = 200,
+    nms_max_output_size: int = 400,
+    input_coords: str = "centroids",
+    normalize_coords: bool = True,
+    img_height: Optional[int] = None,
+    img_width: Optional[int] = None,
+):
+    """Caffe-faithful in-graph decode -> ``(batch, top_k, 6)``.
+
+    Same selection semantics as the reference ``DecodeDetections`` layer:
+    per-class confidence threshold (strict >), per-class greedy NMS capped at
+    ``nms_max_output_size``, then a global top-k over all classes, zero-padded.
+    """
+    corners = decode_offsets(
+        y_pred, input_coords, normalize_coords, img_height, img_width, xp=jnp
+    )
+    confs = y_pred[..., :-12]
+    fn = functools.partial(
+        _decode_one_caffe,
+        confidence_thresh=confidence_thresh,
+        iou_threshold=iou_threshold,
+        top_k=top_k,
+        nms_max_output_size=nms_max_output_size,
+    )
+    return jax.vmap(fn)(confs, corners)
+
+
+def _decode_one_fast(
+    confs, corners, *, confidence_thresh, iou_threshold, top_k, nms_max_output_size
+):
+    """Per-image fast decode: argmax class first, one global NMS."""
+    class_id = jnp.argmax(confs, axis=-1)
+    conf = jnp.max(confs, axis=-1)
+    eligible = (class_id != 0) & (conf >= confidence_thresh)
+    masked = jnp.where(eligible, conf, -1.0)
+    cand_scores, cand_idx = jax.lax.top_k(masked, nms_max_output_size)
+    cand_boxes = corners[cand_idx]
+    cand_classes = class_id[cand_idx]
+    valid = cand_scores > 0.0
+    keep = greedy_nms_mask(cand_boxes, valid, iou_threshold)
+    scores = jnp.where(keep, cand_scores, 0.0)
+    top_scores, top_idx = jax.lax.top_k(scores, top_k)
+    out = jnp.concatenate(
+        [
+            cand_classes[top_idx][:, None].astype(confs.dtype),
+            top_scores[:, None],
+            cand_boxes[top_idx],
+        ],
+        axis=1,
+    )
+    return jnp.where((top_scores > 0.0)[:, None], out, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "confidence_thresh", "iou_threshold", "top_k", "nms_max_output_size",
+        "input_coords", "normalize_coords", "img_height", "img_width",
+    ),
+)
+def decode_detections_fast_fixed(
+    y_pred,
+    confidence_thresh: float = 0.5,
+    iou_threshold: float = 0.45,
+    top_k: int = 200,
+    nms_max_output_size: int = 400,
+    input_coords: str = "centroids",
+    normalize_coords: bool = True,
+    img_height: Optional[int] = None,
+    img_width: Optional[int] = None,
+):
+    """Fast in-graph decode (argmax class, global NMS) -> ``(batch, top_k, 6)``.
+
+    Parity with ``DecodeDetectionsFast`` (keras_layer_DecodeDetectionsFast.py:29):
+    highest-confidence class wins, background boxes dropped, one global NMS
+    over the top ``nms_max_output_size`` candidates.
+    """
+    corners = decode_offsets(
+        y_pred, input_coords, normalize_coords, img_height, img_width, xp=jnp
+    )
+    confs = y_pred[..., :-12]
+    fn = functools.partial(
+        _decode_one_fast,
+        confidence_thresh=confidence_thresh,
+        iou_threshold=iou_threshold,
+        top_k=top_k,
+        nms_max_output_size=nms_max_output_size,
+    )
+    return jax.vmap(fn)(confs, corners)
+
+
+# --------------------------------------------------------------------------- #
+# Host-side ragged decoders (reference API parity)
+# --------------------------------------------------------------------------- #
+
+
+def greedy_nms(boxes_scores: np.ndarray, iou_threshold: float = 0.45,
+               border_pixels: str = "half") -> np.ndarray:
+    """Greedy NMS over (k, 5+) rows ``[score, xmin, ymin, xmax, ymax, ...]``.
+
+    Returns the surviving rows in selection (score-descending) order.
+    Parity: ssd_output_decoder.py:77-92 (`_greedy_nms`).
+    """
+    boxes_left = np.copy(boxes_scores)
+    maxima = []
+    while boxes_left.shape[0] > 0:
+        i = np.argmax(boxes_left[:, 0])
+        maximum = np.copy(boxes_left[i])
+        maxima.append(maximum)
+        boxes_left = np.delete(boxes_left, i, axis=0)
+        if boxes_left.shape[0] == 0:
+            break
+        sims = box_ops.iou(
+            boxes_left[:, 1:5], maximum[1:5], coords="corners",
+            mode="element-wise", border_pixels=border_pixels,
+        )
+        boxes_left = boxes_left[sims <= iou_threshold]
+    return np.array(maxima)
+
+
+def decode_detections(
+    y_pred: np.ndarray,
+    confidence_thresh: float = 0.01,
+    iou_threshold: float = 0.45,
+    top_k=200,
+    input_coords: str = "centroids",
+    normalize_coords: bool = True,
+    img_height: Optional[int] = None,
+    img_width: Optional[int] = None,
+    border_pixels: str = "half",
+) -> List[np.ndarray]:
+    """Host decode with per-class NMS; returns a ragged list of (k, 6) arrays.
+
+    Rows are ``[class_id, confidence, xmin, ymin, xmax, ymax]``.
+    Parity: ssd_output_decoder.py:111-226.
+    """
+    y_pred = np.asarray(y_pred)
+    corners = decode_offsets(
+        y_pred, input_coords, normalize_coords, img_height, img_width, xp=np
+    )
+    n_classes = y_pred.shape[-1] - 12
+
+    results = []
+    for b in range(y_pred.shape[0]):
+        pred = []
+        for class_id in range(1, n_classes):
+            scores = y_pred[b, :, class_id]
+            mask = scores > confidence_thresh
+            if not np.any(mask):
+                continue
+            cand = np.concatenate(
+                [scores[mask][:, None], corners[b][mask]], axis=1
+            )
+            maxima = greedy_nms(cand, iou_threshold, border_pixels)
+            out = np.zeros((maxima.shape[0], 6))
+            out[:, 0] = class_id
+            out[:, 1:] = maxima
+            pred.append(out)
+        if pred:
+            pred = np.concatenate(pred, axis=0)
+            if top_k != "all" and pred.shape[0] > top_k:
+                kth = pred.shape[0] - top_k
+                idx = np.argpartition(pred[:, 1], kth=kth, axis=0)[kth:]
+                pred = pred[idx]
+        else:
+            pred = np.zeros((0, 6))
+        results.append(pred)
+    return results
+
+
+def decode_detections_fast(
+    y_pred: np.ndarray,
+    confidence_thresh: float = 0.5,
+    iou_threshold: Optional[float] = 0.45,
+    top_k="all",
+    input_coords: str = "centroids",
+    normalize_coords: bool = True,
+    img_height: Optional[int] = None,
+    img_width: Optional[int] = None,
+    border_pixels: str = "half",
+) -> List[np.ndarray]:
+    """Host decode with argmax class + global NMS; ragged list of (k, 6).
+
+    Parity: ssd_output_decoder.py:228-333.
+    """
+    y_pred = np.asarray(y_pred)
+    corners = decode_offsets(
+        y_pred, input_coords, normalize_coords, img_height, img_width, xp=np
+    )
+    class_ids = np.argmax(y_pred[:, :, :-12], axis=-1)
+    confs = np.amax(y_pred[:, :, :-12], axis=-1)
+
+    results = []
+    for b in range(y_pred.shape[0]):
+        mask = class_ids[b] != 0
+        boxes = np.concatenate(
+            [
+                class_ids[b][mask][:, None].astype(np.float64),
+                confs[b][mask][:, None],
+                corners[b][mask],
+            ],
+            axis=1,
+        )
+        boxes = boxes[boxes[:, 1] >= confidence_thresh]
+        if iou_threshold and boxes.shape[0] > 0:
+            boxes = _greedy_nms_rows(boxes, iou_threshold, border_pixels)
+        if top_k != "all" and boxes.shape[0] > top_k:
+            kth = boxes.shape[0] - top_k
+            idx = np.argpartition(boxes[:, 1], kth=kth, axis=0)[kth:]
+            boxes = boxes[idx]
+        results.append(boxes)
+    return results
+
+
+def _greedy_nms_rows(rows: np.ndarray, iou_threshold: float, border_pixels: str):
+    """Greedy NMS over (k, 6) rows ``[class, score, 4 corners]`` keyed on score."""
+    boxes_left = np.copy(rows)
+    maxima = []
+    while boxes_left.shape[0] > 0:
+        i = np.argmax(boxes_left[:, 1])
+        maximum = np.copy(boxes_left[i])
+        maxima.append(maximum)
+        boxes_left = np.delete(boxes_left, i, axis=0)
+        if boxes_left.shape[0] == 0:
+            break
+        sims = box_ops.iou(
+            boxes_left[:, 2:6], maximum[2:6], coords="corners",
+            mode="element-wise", border_pixels=border_pixels,
+        )
+        boxes_left = boxes_left[sims <= iou_threshold]
+    return np.array(maxima)

@@ -1,0 +1,73 @@
+"""Data-parallel execution over a ``jax.sharding.Mesh``.
+
+The reference has no distributed support at all (SURVEY.md §2.x, §5.8); this
+module is the TPU-native addition: a 1-D ``('data',)`` mesh over the slice,
+batch inputs sharded on 'data', parameters replicated, and the train step
+jitted over *global* arrays so XLA lowers cross-device reductions (gradient
+all-reduce AND the loss's batch-global ``n_positive`` normalization) to
+``psum`` collectives over ICI automatically — the loss normalization contract
+(keras_ssd_loss.py:143,:204) stays exact under data parallelism by
+construction.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "replicate",
+    "initialize_distributed",
+]
+
+
+def initialize_distributed(**kwargs):
+    """Per-host setup for multi-host slices (wraps jax.distributed.initialize).
+
+    No-op when running single-process (the common single-host case).
+    """
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis_name: str = "data") -> Mesh:
+    """A 1-D data-parallel mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) axis across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully replicated placement (parameters, optimizer state)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Place host arrays onto the mesh with the batch axis sharded.
+
+    Works for a single array or a pytree; the global batch dimension must be
+    divisible by the mesh size. In multi-host settings use
+    ``jax.make_array_from_process_local_data`` with the same sharding instead.
+    """
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (e.g. train state) across the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,220 @@
+"""Weight import/export: reference .h5 port, sub-sampling, checkpoints.
+
+* :func:`load_keras_h5_weights` loads the reference's Keras-format ``.h5``
+  weight files (including the ported-from-Caffe VGG/SSD weights) into a flax
+  parameter pytree **by layer name** — the name->tensor mapping is the
+  weight-port contract (SURVEY.md §3.3). Keras stores conv kernels as HWIO,
+  which is also flax's native layout, so tensors transfer unchanged.
+* :func:`sample_tensors` ports N-class predictor heads to M-class heads by
+  sub-/up-sampling weight tensors along arbitrary axes — capability parity
+  with /root/reference/misc_utils/tensor_sampling_utils.py:21.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+__all__ = [
+    "load_keras_h5_weights",
+    "save_keras_h5_weights",
+    "sample_tensors",
+    "sample_classifier_weights",
+]
+
+_KERAS_TO_FLAX = {"kernel": "kernel", "bias": "bias", "gamma": "gamma",
+                  "beta": "beta", "moving_mean": "mean", "moving_variance": "var"}
+# BatchNorm statistics live in flax's `batch_stats` collection, not `params`.
+_BN_STATS = {"moving_mean", "moving_variance"}
+
+
+def _layer_groups(f):
+    """Yield (layer_name, group) for every layer with weights in a Keras h5 file."""
+    import h5py
+
+    root = f["model_weights"] if "model_weights" in f else f
+    for name in root:
+        g = root[name]
+        if not isinstance(g, h5py.Group):
+            continue
+        # Keras nests the weights one level deeper under the layer name again.
+        inner = g[name] if name in g else g
+        datasets = {}
+
+        def collect(prefix, obj):
+            if hasattr(obj, "shape"):
+                datasets[prefix] = np.array(obj)
+
+        inner.visititems(collect)
+        if datasets:
+            yield name, datasets
+
+
+def load_keras_h5_weights(
+    h5_path: str,
+    params: Dict,
+    batch_stats: Optional[Dict] = None,
+    by_name: bool = True,
+    verbose: bool = False,
+):
+    """Load a Keras .h5 weight file into (a copy of) a flax param pytree.
+
+    Layers present in the file but absent from ``params`` are skipped (the
+    reference's ``load_weights(by_name=True)`` semantics), and vice versa.
+    Returns ``(params, batch_stats, loaded_layer_names)``.
+    """
+    import h5py
+
+    params = {k: dict(v) for k, v in params.items()}
+    batch_stats = {k: dict(v) for k, v in (batch_stats or {}).items()}
+    loaded = []
+    with h5py.File(h5_path, "r") as f:
+        for name, datasets in _layer_groups(f):
+            target_p = params.get(name)
+            target_s = batch_stats.get(name)
+            if target_p is None and target_s is None:
+                continue
+            for ds_name, value in datasets.items():
+                key = ds_name.split("/")[-1].split(":")[0]
+                flax_key = _KERAS_TO_FLAX.get(key, key)
+                dest = target_s if key in _BN_STATS else target_p
+                if dest is None or flax_key not in dest:
+                    continue
+                have = np.asarray(dest[flax_key])
+                if have.shape != value.shape:
+                    raise ValueError(
+                        f"Shape mismatch for {name}/{flax_key}: "
+                        f"checkpoint {value.shape} vs model {have.shape}."
+                    )
+                dest[flax_key] = value.astype(have.dtype)
+            loaded.append(name)
+            if verbose:
+                print(f"loaded layer {name}: {sorted(datasets)}")
+    return params, batch_stats, loaded
+
+
+def save_keras_h5_weights(
+    h5_path: str, params: Dict, batch_stats: Optional[Dict] = None
+):
+    """Write a flax param pytree as a Keras-layout .h5 file (layer/layer/w:0)."""
+    import h5py
+
+    inv = {v: k for k, v in _KERAS_TO_FLAX.items()}
+    with h5py.File(h5_path, "w") as f:
+        all_layers = dict(params)
+        for name, tensors in all_layers.items():
+            g = f.create_group(name).create_group(name)
+            for key, value in tensors.items():
+                keras_key = inv.get(key, key)
+                g.create_dataset(f"{keras_key}:0", data=np.asarray(value))
+            if batch_stats and name in batch_stats:
+                for key, value in batch_stats[name].items():
+                    keras_key = inv.get(key, key)
+                    g.create_dataset(f"{keras_key}:0", data=np.asarray(value))
+
+
+# --------------------------------------------------------------------------- #
+# Weight sub-/up-sampling (transfer a head across class counts)
+# --------------------------------------------------------------------------- #
+
+
+def sample_tensors(
+    weights_list: List[np.ndarray],
+    sampling_instructions: Sequence,
+    axes: Optional[List] = None,
+    init=None,
+    mean: float = 0.0,
+    stddev: float = 0.005,
+):
+    """Sub-sample or up-sample weight tensors consistently along given axes.
+
+    ``sampling_instructions``: per axis of the first tensor, either an int
+    (target size: random sub-sample keeping index order, or gaussian/zeros
+    up-fill) or a list of explicit indices to keep. Trailing tensors (e.g.
+    biases) are sampled along their matching last axes via ``axes``.
+    Capability parity with tensor_sampling_utils.py:21-177.
+    """
+    first = weights_list[0]
+    if len(sampling_instructions) != first.ndim:
+        raise ValueError(
+            "One sampling instruction per axis of the first tensor is required."
+        )
+    init = init or ["gaussian"] * len(sampling_instructions)
+
+    # Resolve each axis' kept-index list (sub-sampling) or target size (up).
+    out_indices: List[Optional[np.ndarray]] = []
+    out_sizes: List[int] = []
+    for ax, instr in enumerate(sampling_instructions):
+        size = first.shape[ax]
+        if isinstance(instr, (list, tuple, np.ndarray)):
+            idx = np.asarray(instr, dtype=np.int64)
+            if idx.max() >= size:
+                raise ValueError(
+                    f"Axis {ax}: explicit indices exceed source size {size}."
+                )
+            out_indices.append(np.sort(idx))
+            out_sizes.append(len(idx))
+        elif int(instr) <= size:
+            idx = np.sort(np.random.choice(size, int(instr), replace=False))
+            out_indices.append(idx)
+            out_sizes.append(int(instr))
+        else:
+            out_indices.append(None)  # up-sample
+            out_sizes.append(int(instr))
+
+    def sample_one(tensor: np.ndarray, tensor_axes: Sequence[int]):
+        # `tensor_axes` maps this tensor's axes onto the instruction axes.
+        out = tensor
+        for t_ax, i_ax in enumerate(tensor_axes):
+            idx = out_indices[i_ax]
+            target = out_sizes[i_ax]
+            if idx is not None:
+                out = np.take(out, idx, axis=t_ax)
+            elif target > out.shape[t_ax]:
+                shape = list(out.shape)
+                shape[t_ax] = target
+                if init[i_ax] == "zeros":
+                    filled = np.zeros(shape, dtype=out.dtype)
+                else:
+                    filled = np.random.normal(mean, stddev, shape).astype(out.dtype)
+                sl = [slice(None)] * out.ndim
+                sl[t_ax] = slice(0, out.shape[t_ax])
+                filled[tuple(sl)] = out
+                out = filled
+        return out
+
+    results = [sample_one(first, list(range(first.ndim)))]
+    for i, tensor in enumerate(weights_list[1:]):
+        if axes is None or i >= len(axes):
+            # Default: sample trailing tensors along the *last* instruction axis
+            # (the classifier-output axis), matching the reference's use of
+            # kernel+bias pairs.
+            tensor_axes = [first.ndim - 1] * tensor.ndim
+        else:
+            tensor_axes = list(axes[i])
+        results.append(sample_one(tensor, tensor_axes))
+    return results
+
+
+def sample_classifier_weights(
+    kernel: np.ndarray,
+    bias: np.ndarray,
+    n_classes_source: int,
+    classes_of_interest: Sequence[int],
+    n_boxes: int,
+):
+    """Port a conf head from ``n_classes_source`` to ``len(classes_of_interest)``.
+
+    Expands the per-box class indices (class 0 / background always kept first
+    if included in ``classes_of_interest``) exactly like the weight-sampling
+    tutorial's index arithmetic (weight_sampling_tutorial.ipynb cell 14).
+    """
+    idx = []
+    for b in range(n_boxes):
+        idx.extend(int(c) + b * n_classes_source for c in classes_of_interest)
+    return sample_tensors(
+        [kernel, bias],
+        sampling_instructions=list(kernel.shape[:-1]) + [idx],
+        axes=[[kernel.ndim - 1]],
+    )
