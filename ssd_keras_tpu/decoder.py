@@ -185,6 +185,7 @@ def _decode_one_fast(
     confs, corners, *, confidence_thresh, iou_threshold, top_k, nms_max_output_size
 ):
     """Per-image fast decode: argmax class first, one global NMS."""
+    nms_max_output_size = min(nms_max_output_size, corners.shape[0])
     class_id = jnp.argmax(confs, axis=-1)
     conf = jnp.max(confs, axis=-1)
     eligible = (class_id != 0) & (conf >= confidence_thresh)
@@ -195,7 +196,8 @@ def _decode_one_fast(
     valid = cand_scores > 0.0
     keep = greedy_nms_mask(cand_boxes, valid, iou_threshold)
     scores = jnp.where(keep, cand_scores, 0.0)
-    top_scores, top_idx = jax.lax.top_k(scores, top_k)
+    k_eff = min(top_k, scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(scores, k_eff)
     out = jnp.concatenate(
         [
             cand_classes[top_idx][:, None].astype(confs.dtype),
@@ -204,7 +206,10 @@ def _decode_one_fast(
         ],
         axis=1,
     )
-    return jnp.where((top_scores > 0.0)[:, None], out, 0.0)
+    out = jnp.where((top_scores > 0.0)[:, None], out, 0.0)
+    if k_eff < top_k:
+        out = jnp.pad(out, ((0, top_k - k_eff), (0, 0)))
+    return out
 
 
 @functools.partial(

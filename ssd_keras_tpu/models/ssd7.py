@@ -34,6 +34,11 @@ def ssd7_predictor_sizes(img_height: int, img_width: int) -> List[Tuple[int, int
             h, w = h // 2, w // 2
         if i in _HEAD_LAYERS:
             sizes.append((h, w))
+    if sizes[-1][0] < 1 or sizes[-1][1] < 1:
+        raise ValueError(
+            f"Input {img_height}x{img_width} is too small for SSD7's six 2x "
+            "pools; both dimensions must be >= 64."
+        )
     return sizes
 
 

@@ -162,8 +162,12 @@ def iou(boxes1, boxes2, coords="centroids", mode="outer_product", border_pixels=
             "Supported: 'minmax', 'corners', 'centroids'."
         )
 
+    # Reference quirk preserved: iou() computes the *intersection* with the
+    # default 'half' convention regardless of border_pixels (the internal
+    # intersection_area_ call at bounding_box_utils.py:345 omits the
+    # border_pixels argument), while the union areas below do use it.
     inter = intersection_area(
-        boxes1, boxes2, coords=coords, mode=mode, border_pixels=border_pixels, xp=xp
+        boxes1, boxes2, coords=coords, mode=mode, border_pixels="half", xp=xp
     )
     d = border_delta(border_pixels)
     x1a, y1a, x2a, y2a = _split_corners(boxes1, coords)

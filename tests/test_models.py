@@ -1,0 +1,120 @@
+"""Model builders: predictor-size formulas vs traced shapes, output layout,
+parameter naming, and preprocessing semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssd_keras_tpu.config import SSDConfig
+from ssd_keras_tpu.models import (
+    ssd_7,
+    ssd_300,
+    ssd_512,
+    ssd300_predictor_sizes,
+    ssd512_predictor_sizes,
+    ssd7_predictor_sizes,
+)
+from ssd_keras_tpu.models.layers import L2Normalization, preprocess_input
+
+
+def test_ssd300_predictor_size_formula():
+    assert ssd300_predictor_sizes(300, 300) == [
+        (38, 38), (19, 19), (10, 10), (5, 5), (3, 3), (1, 1)
+    ]
+
+
+def test_ssd512_predictor_size_formula():
+    assert ssd512_predictor_sizes(512, 512) == [
+        (64, 64), (32, 32), (16, 16), (8, 8), (4, 4), (2, 2), (1, 1)
+    ]
+
+
+def test_ssd7_predictor_size_formula():
+    assert ssd7_predictor_sizes(300, 480) == [(37, 60), (18, 30), (9, 15), (4, 7)]
+
+
+@pytest.mark.parametrize(
+    "builder,cfg,expected_boxes",
+    [
+        (ssd_300, SSDConfig.ssd300(), 8732),
+        (ssd_512, SSDConfig.ssd512(), 24564),
+    ],
+)
+def test_big_models_traced_shapes(builder, cfg, expected_boxes):
+    """Shape-only trace (eval_shape): no FLOPs, validates the formulas against
+    the real graph."""
+    model, sizes = builder(cfg)
+    x = jnp.zeros((1, cfg.img_height, cfg.img_width, 3), jnp.float32)
+    variables = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+    out = jax.eval_shape(
+        lambda v, x: model.apply(v, x), variables, x
+    )
+    assert out.shape == (1, expected_boxes, cfg.n_classes_with_background + 12)
+
+
+def test_ssd300_parameter_names():
+    cfg = SSDConfig.ssd300()
+    model, _ = ssd_300(cfg)
+    x = jnp.zeros((1, 300, 300, 3), jnp.float32)
+    variables = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+    names = set(variables["params"].keys())
+    expected = {
+        "conv1_1", "conv1_2", "conv2_1", "conv2_2", "conv3_1", "conv3_2",
+        "conv3_3", "conv4_1", "conv4_2", "conv4_3", "conv5_1", "conv5_2",
+        "conv5_3", "fc6", "fc7", "conv6_1", "conv6_2", "conv7_1", "conv7_2",
+        "conv8_1", "conv8_2", "conv9_1", "conv9_2", "conv4_3_norm",
+    } | {
+        f"{src}_mbox_{head}"
+        for src in ("conv4_3_norm", "fc7", "conv6_2", "conv7_2", "conv8_2", "conv9_2")
+        for head in ("conf", "loc")
+    }
+    assert names == expected
+    # HWIO kernel layout, VGG conv1_1: (3, 3, 3, 64)
+    assert variables["params"]["conv1_1"]["kernel"].shape == (3, 3, 3, 64)
+    assert variables["params"]["fc6"]["kernel"].shape == (3, 3, 512, 1024)
+    assert variables["params"]["conv4_3_norm"]["gamma"].shape == (512,)
+
+
+def test_ssd7_forward_and_softmax_layout():
+    cfg = SSDConfig.ssd7(n_classes=4, img_height=64, img_width=96)
+    model, sizes = ssd_7(cfg)
+    x = np.random.RandomState(0).rand(2, 64, 96, 3).astype(np.float32) * 255
+    variables = model.init(jax.random.PRNGKey(0), x)
+    y = np.asarray(model.apply(variables, x))
+    C = cfg.n_classes_with_background
+    assert y.shape == (2, cfg.total_boxes(sizes), C + 12)
+    # Confidences are softmaxed: rows sum to 1.
+    np.testing.assert_allclose(y[:, :, :C].sum(-1), 1.0, rtol=1e-5)
+    # Anchor slots match the shared generator.
+    np.testing.assert_allclose(
+        y[0, :, -8:], cfg.anchor_tensor(sizes), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_l2_normalization_unit_norm_times_gamma():
+    layer = L2Normalization(gamma_init=20.0)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 2, 2, 8).astype(np.float32))
+    params = layer.init(jax.random.PRNGKey(0), x)
+    y = np.asarray(layer.apply(params, x))
+    norms = np.linalg.norm(y, axis=-1)
+    np.testing.assert_allclose(norms, 20.0, rtol=1e-5)
+
+
+def test_preprocessing_mean_swap():
+    x = jnp.asarray(np.ones((1, 2, 2, 3), np.float32) * [10, 20, 30])
+    out = np.asarray(
+        preprocess_input(x, subtract_mean=(1, 2, 3), divide_by_stddev=None,
+                         swap_channels=(2, 1, 0))
+    )
+    np.testing.assert_allclose(out[0, 0, 0], [27, 18, 9])
+
+
+def test_bfloat16_compute_dtype():
+    cfg = SSDConfig.ssd7(n_classes=3, img_height=64, img_width=64)
+    model, _ = ssd_7(cfg, compute_dtype=jnp.bfloat16)
+    x = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(variables, x)
+    assert y.dtype == jnp.float32  # head assembly promotes back to f32
+    assert np.all(np.isfinite(np.asarray(y)))

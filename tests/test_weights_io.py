@@ -1,0 +1,117 @@
+"""Weight I/O: Keras-layout .h5 import/export and tensor sub-/up-sampling."""
+
+import os
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssd_keras_tpu import weights_io as W
+from ssd_keras_tpu.config import SSDConfig
+from ssd_keras_tpu.models import ssd_7
+
+
+@pytest.fixture()
+def ssd7_variables():
+    cfg = SSDConfig.ssd7(n_classes=3, img_height=64, img_width=64)
+    model, _ = ssd_7(cfg)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    return model.init(jax.random.PRNGKey(0), x)
+
+
+def test_h5_roundtrip(tmp_path, ssd7_variables):
+    params = jax.tree_util.tree_map(np.asarray, dict(ssd7_variables["params"]))
+    stats = jax.tree_util.tree_map(np.asarray, dict(ssd7_variables["batch_stats"]))
+    path = str(tmp_path / "w.h5")
+    W.save_keras_h5_weights(path, params, stats)
+
+    # Perturb then reload: values must come back from the file.
+    perturbed = jax.tree_util.tree_map(lambda a: a + 1.0, params)
+    loaded, loaded_stats, names = W.load_keras_h5_weights(path, perturbed, stats)
+    assert "conv1" in names and "bn1" in names
+    np.testing.assert_allclose(loaded["conv1"]["kernel"], params["conv1"]["kernel"])
+    np.testing.assert_allclose(loaded_stats["bn1"]["mean"], stats["bn1"]["mean"])
+
+
+def test_h5_by_name_skips_unknown_layers(tmp_path, ssd7_variables):
+    params = jax.tree_util.tree_map(np.asarray, dict(ssd7_variables["params"]))
+    path = str(tmp_path / "w.h5")
+    with h5py.File(path, "w") as f:
+        g = f.create_group("conv1").create_group("conv1")
+        g.create_dataset("kernel:0", data=np.zeros_like(params["conv1"]["kernel"]))
+        g.create_dataset("bias:0", data=np.zeros_like(params["conv1"]["bias"]))
+        g2 = f.create_group("nonexistent_layer").create_group("nonexistent_layer")
+        g2.create_dataset("kernel:0", data=np.ones((1, 1, 1, 1)))
+    loaded, _, names = W.load_keras_h5_weights(path, params, {})
+    assert names == ["conv1"]
+    assert np.all(loaded["conv1"]["kernel"] == 0)
+    # Other layers untouched.
+    np.testing.assert_allclose(loaded["conv2"]["kernel"], params["conv2"]["kernel"])
+
+
+def test_h5_shape_mismatch_raises(tmp_path, ssd7_variables):
+    params = jax.tree_util.tree_map(np.asarray, dict(ssd7_variables["params"]))
+    path = str(tmp_path / "w.h5")
+    with h5py.File(path, "w") as f:
+        g = f.create_group("conv1").create_group("conv1")
+        g.create_dataset("kernel:0", data=np.zeros((1, 1, 1, 1)))
+    with pytest.raises(ValueError, match="Shape mismatch"):
+        W.load_keras_h5_weights(path, params, {})
+
+
+def test_h5_model_weights_subgroup(tmp_path, ssd7_variables):
+    """Keras `model.save()` nests weights under 'model_weights'."""
+    params = jax.tree_util.tree_map(np.asarray, dict(ssd7_variables["params"]))
+    path = str(tmp_path / "w.h5")
+    with h5py.File(path, "w") as f:
+        mw = f.create_group("model_weights")
+        g = mw.create_group("conv1").create_group("conv1")
+        g.create_dataset("kernel:0", data=params["conv1"]["kernel"] * 2)
+        g.create_dataset("bias:0", data=params["conv1"]["bias"])
+    loaded, _, names = W.load_keras_h5_weights(path, params, {})
+    assert names == ["conv1"]
+    np.testing.assert_allclose(
+        loaded["conv1"]["kernel"], params["conv1"]["kernel"] * 2
+    )
+
+
+def test_sample_tensors_subsample():
+    kernel = np.arange(3 * 3 * 4 * 84, dtype=np.float64).reshape(3, 3, 4, 84)
+    bias = np.arange(84, dtype=np.float64)
+    idx = list(range(0, 84, 2))
+    new_k, new_b = W.sample_tensors(
+        [kernel, bias], sampling_instructions=[3, 3, 4, idx], axes=[[3]]
+    )
+    assert new_k.shape == (3, 3, 4, 42)
+    np.testing.assert_allclose(new_k, kernel[:, :, :, idx])
+    np.testing.assert_allclose(new_b, bias[idx])
+
+
+def test_sample_tensors_upsample_keeps_originals():
+    np.random.seed(0)
+    kernel = np.random.randn(3, 3, 4, 10)
+    bias = np.random.randn(10)
+    new_k, new_b = W.sample_tensors(
+        [kernel, bias], sampling_instructions=[3, 3, 4, 20], axes=[[3]],
+        init=["gaussian"] * 4,
+    )
+    assert new_k.shape == (3, 3, 4, 20)
+    np.testing.assert_allclose(new_k[..., :10], kernel)
+    np.testing.assert_allclose(new_b[:10], bias)
+
+
+def test_sample_classifier_weights_background_kept():
+    """Porting a 21-class head to 6 classes keeps class 0 per box."""
+    n_boxes, n_src = 4, 21
+    kernel = np.random.randn(3, 3, 16, n_boxes * n_src)
+    bias = np.random.randn(n_boxes * n_src)
+    classes = [0, 1, 5, 7, 9, 15]
+    new_k, new_b = W.sample_classifier_weights(kernel, bias, n_src, classes, n_boxes)
+    assert new_k.shape[-1] == n_boxes * len(classes)
+    # First kept channel of every box block is the background channel.
+    for b in range(n_boxes):
+        np.testing.assert_allclose(
+            new_k[..., b * len(classes)], kernel[..., b * n_src]
+        )
