@@ -1,0 +1,80 @@
+"""Benchmark: SSD300 end-to-end inference FPS on one TPU chip.
+
+Measures the same quantity as the reference's headline FPS benchmark
+(README.md:89-118: SSD300, batch 8, 'inference' model including the decode
+layer, GTX 1070: 49 FPS) and reports vs_baseline against that number.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+BASELINE_FPS_BATCH8 = 49.0  # reference SSD300 @ batch 8 on GTX 1070
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssd_keras_tpu.config import SSDConfig
+    from ssd_keras_tpu.models import ssd_300
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        os.environ.get("BENCH_DTYPE", "bfloat16")
+    ]
+
+    config = SSDConfig.ssd300()
+    model, _ = ssd_300(config, mode="inference", compute_dtype=dtype)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, 300, 300, 3).astype(np.float32) * 255)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+    @jax.jit
+    def forward_chained(variables, x, s):
+        """Forward pass whose input depends on the previous output's checksum.
+
+        The scalar chaining makes successive calls data-dependent on device, so
+        a single device_get at the end of the timing loop waits for the whole
+        chain — necessary because block_until_ready does not actually block
+        through this environment's TPU tunnel.
+        """
+        out = model.apply(variables, x + s)
+        return jnp.sum(out).astype(jnp.float32) * 0.0
+
+    # Warm up / compile.
+    s = jnp.float32(0.0)
+    s = forward_chained(variables, x, s)
+    jax.device_get(s)
+
+    def timed(n_iters):
+        s = jnp.float32(0.0)
+        start = time.perf_counter()
+        for _ in range(n_iters):
+            s = forward_chained(variables, x, s)
+        jax.device_get(s)  # waits for the full dependent chain
+        return time.perf_counter() - start
+
+    n_iters = int(os.environ.get("BENCH_ITERS", "30"))
+    timed(3)  # second warm-up pass through the steady-state path
+    elapsed = min(timed(n_iters) for _ in range(3))
+
+    fps = batch * n_iters / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": f"ssd300_inference_fps_batch{batch}",
+                "value": round(fps, 2),
+                "unit": "images/s",
+                "vs_baseline": round(fps / BASELINE_FPS_BATCH8, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
