@@ -34,6 +34,9 @@ __all__ = [
     "decode_detections_fast_fixed",
     "decode_detections",
     "decode_detections_fast",
+    "decode_detections_debug",
+    "get_num_boxes_per_pred_layer",
+    "get_pred_layers",
     "greedy_nms",
 ]
 
@@ -371,6 +374,98 @@ def decode_detections_fast(
             boxes = boxes[idx]
         results.append(boxes)
     return results
+
+
+def decode_detections_debug(
+    y_pred: np.ndarray,
+    confidence_thresh: float = 0.01,
+    iou_threshold: float = 0.45,
+    top_k=200,
+    input_coords: str = "centroids",
+    normalize_coords: bool = True,
+    img_height: Optional[int] = None,
+    img_width: Optional[int] = None,
+    variance_encoded_in_target: bool = False,
+    border_pixels: str = "half",
+) -> List[np.ndarray]:
+    """Host decode that keeps each box's internal anchor index.
+
+    Output rows are ``[box_id, class_id, confidence, xmin, ymin, xmax, ymax]``
+    so every final detection can be attributed to the predictor layer that
+    produced it (with :func:`get_pred_layers`). Parity:
+    ssd_output_decoder.py:342-467.
+    """
+    y_pred = np.asarray(y_pred)
+    if variance_encoded_in_target:
+        # Offsets were encoded without the variance division.
+        y = np.array(y_pred)
+        y[..., -4:] = 1.0
+        corners = decode_offsets(y, input_coords, normalize_coords, img_height, img_width)
+    else:
+        corners = decode_offsets(
+            y_pred, input_coords, normalize_coords, img_height, img_width
+        )
+    n_classes = y_pred.shape[-1] - 12
+    box_ids = np.arange(y_pred.shape[1], dtype=np.float64)
+
+    results = []
+    for b in range(y_pred.shape[0]):
+        pred = []
+        for class_id in range(1, n_classes):
+            scores = y_pred[b, :, class_id]
+            mask = scores > confidence_thresh
+            if not np.any(mask):
+                continue
+            cand = np.concatenate(
+                [box_ids[mask][:, None], scores[mask][:, None], corners[b][mask]],
+                axis=1,
+            )
+            maxima = _greedy_nms_rows(cand, iou_threshold, border_pixels)
+            out = np.zeros((maxima.shape[0], 7))
+            out[:, 0] = maxima[:, 0]  # box id
+            out[:, 1] = class_id
+            out[:, 2:] = maxima[:, 1:]
+            pred.append(out)
+        if pred:
+            pred = np.concatenate(pred, axis=0)
+            if top_k != "all" and pred.shape[0] > top_k:
+                kth = pred.shape[0] - top_k
+                idx = np.argpartition(pred[:, 2], kth=kth, axis=0)[kth:]
+                pred = pred[idx]
+        else:
+            pred = np.zeros((0, 7))
+        results.append(pred)
+    return results
+
+
+def get_num_boxes_per_pred_layer(predictor_sizes, aspect_ratios, two_boxes_for_ar1):
+    """Boxes contributed by each predictor layer (ssd_output_decoder.py:488)."""
+    counts = []
+    for (h, w), ars in zip(predictor_sizes, aspect_ratios):
+        n = len(ars) + (1 if (1 in ars and two_boxes_for_ar1) else 0)
+        counts.append(int(h) * int(w) * n)
+    return counts
+
+
+def get_pred_layers(y_pred_decoded, num_boxes_per_pred_layer):
+    """Attribute debug-decoded boxes to predictor layers by anchor index.
+
+    Parity: ssd_output_decoder.py:503-530.
+    """
+    cumulative = np.cumsum(num_boxes_per_pred_layer)
+    all_layers = []
+    for batch_item in y_pred_decoded:
+        layers = []
+        for prediction in batch_item:
+            box_id = prediction[0]
+            if box_id < 0 or box_id >= cumulative[-1]:
+                raise ValueError(
+                    f"Box index {box_id} out of bounds for "
+                    f"{cumulative[-1]} total boxes."
+                )
+            layers.append(int(np.searchsorted(cumulative, box_id, side="right")))
+        all_layers.append(layers)
+    return all_layers
 
 
 def _greedy_nms_rows(rows: np.ndarray, iou_threshold: float, border_pixels: str):

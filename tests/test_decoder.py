@@ -139,3 +139,38 @@ def test_greedy_nms_suppresses_overlaps():
     kept = D.greedy_nms(rows, iou_threshold=0.45)
     assert kept.shape[0] == 2
     assert set(kept[:, 0].tolist()) == {0.9, 0.7}
+
+
+@requires_reference
+def test_debug_decode_parity(y_pred):
+    from ssd_encoder_decoder.ssd_output_decoder import (
+        decode_detections_debug as ref_debug,
+    )
+
+    expected = ref_debug(
+        y_pred, confidence_thresh=0.3, iou_threshold=0.45, top_k=20,
+        input_coords="centroids", normalize_coords=True,
+        img_height=64, img_width=64,
+    )
+    got = D.decode_detections_debug(
+        y_pred, confidence_thresh=0.3, iou_threshold=0.45, top_k=20,
+        input_coords="centroids", normalize_coords=True,
+        img_height=64, img_width=64,
+    )
+    for g, e in zip(got, expected):
+        g = g[np.lexsort((g[:, 2], g[:, 1], g[:, 0]))]
+        e = e[np.lexsort((e[:, 2], e[:, 1], e[:, 0]))]
+        np.testing.assert_allclose(g, e, rtol=1e-6, atol=1e-9)
+
+
+def test_get_pred_layers():
+    counts = [100, 50, 25]
+    decoded = [np.array([[0, 1, 0.9, 0, 0, 1, 1],
+                         [120, 1, 0.8, 0, 0, 1, 1],
+                         [160, 2, 0.7, 0, 0, 1, 1]])]
+    layers = D.get_pred_layers(decoded, counts)
+    assert layers == [[0, 1, 2]]
+    # layer 1: 4 boxes/cell (ar1 doubled); layer 2: 3 boxes/cell.
+    assert D.get_num_boxes_per_pred_layer(
+        [(10, 10), (5, 5)], [[1.0, 2.0, 0.5], [1.0, 2.0]], True
+    ) == [400, 75]
