@@ -304,8 +304,71 @@ class Evaluator:
         cumulative_true_positives = [[]]
         cumulative_false_positives = [[]]
 
+        # Native fast path: the per-prediction matching loop in C++
+        # (ssd_keras_tpu/native). Falls back to the Python loop below.
+        from ssd_keras_tpu import native
+        from ssd_keras_tpu.ops.boxes import border_delta as _bd
+
+        use_native = native.available()
+        if use_native:
+            image_index = {
+                str(image_id): i
+                for i, image_id in enumerate(self.data_generator.image_ids)
+            }
+
         for class_id in range(1, self.n_classes + 1):
             predictions = self.prediction_results[class_id]
+            if use_native and len(predictions) > 0:
+                confs = np.array([p[1] for p in predictions], dtype=np.float32)
+                order = np.argsort(-confs, kind=sorting_algorithm)
+                pred_img = np.array(
+                    [image_index[str(predictions[i][0])] for i in order],
+                    dtype=np.int32,
+                )
+                pred_boxes = np.array(
+                    [predictions[i][2:6] for i in order], dtype=np.float32
+                )
+                # Class-filtered GT per image, flattened with prefix offsets.
+                gt_box_chunks, neutral_chunks, offsets = [], [], [0]
+                track_neutral = ignore_neutral_boxes and neutral_available
+                for i in range(len(self.data_generator.image_ids)):
+                    labels = np.asarray(self.data_generator.labels[i])
+                    if labels.size == 0:
+                        offsets.append(offsets[-1])
+                        continue
+                    mask = labels[:, class_id_gt] == class_id
+                    gt_box_chunks.append(
+                        labels[mask][:, box_cols].astype(np.float32)
+                    )
+                    if track_neutral:
+                        neutral_chunks.append(
+                            np.asarray(self.data_generator.eval_neutral[i])[mask]
+                        )
+                    offsets.append(offsets[-1] + int(mask.sum()))
+                gt_boxes = (
+                    np.concatenate(gt_box_chunks, axis=0)
+                    if gt_box_chunks
+                    else np.zeros((0, 4), np.float32)
+                )
+                gt_neutral = (
+                    np.concatenate(neutral_chunks).astype(np.uint8)
+                    if track_neutral and neutral_chunks
+                    else None
+                )
+                result = native.match_predictions_class(
+                    pred_img, pred_boxes, np.asarray(offsets, np.int32),
+                    gt_boxes, gt_neutral, matching_iou_threshold,
+                    _bd(border_pixels),
+                )
+                if result is not None:
+                    tp_u8, fp_u8 = result
+                    true_pos = tp_u8.astype(np.int64)
+                    false_pos = fp_u8.astype(np.int64)
+                    true_positives.append(true_pos)
+                    false_positives.append(false_pos)
+                    cumulative_true_positives.append(np.cumsum(true_pos))
+                    cumulative_false_positives.append(np.cumsum(false_pos))
+                    continue
             true_pos = np.zeros(len(predictions), dtype=np.int64)
             false_pos = np.zeros(len(predictions), dtype=np.int64)
             if len(predictions) == 0:

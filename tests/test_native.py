@@ -1,0 +1,107 @@
+"""Native C++ host kernels vs their NumPy/Python counterparts."""
+
+import numpy as np
+import pytest
+
+from ssd_keras_tpu import native
+from ssd_keras_tpu.ops import boxes as box_ops
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable (no g++?)"
+)
+
+
+def _random_boxes(rng, n, span=100.0):
+    b = rng.rand(n, 4).astype(np.float32) * span
+    b[:, 2:] = b[:, :2] + rng.rand(n, 2).astype(np.float32) * 30 + 1
+    return b
+
+
+def test_iou_matrix_matches_numpy():
+    rng = np.random.RandomState(0)
+    a, b = _random_boxes(rng, 13), _random_boxes(rng, 7)
+    for border, d in (("half", 0), ("include", 1), ("exclude", -1)):
+        expected = box_ops.iou(a, b, coords="corners", border_pixels=border)
+        got = native.iou_matrix(a, b, border_delta=d)
+        np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_greedy_nms_matches_python():
+    from ssd_keras_tpu.decoder import greedy_nms
+
+    rng = np.random.RandomState(1)
+    for _ in range(10):
+        n = rng.randint(1, 60)
+        boxes = _random_boxes(rng, n)
+        scores = rng.rand(n).astype(np.float32)
+        rows = np.concatenate([scores[:, None], boxes], axis=1)
+        expected = greedy_nms(rows, iou_threshold=0.45)
+        keep = native.greedy_nms_indices(scores, boxes, 0.45)
+        got = rows[keep]
+        np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
+def test_match_predictions_matches_python(tmp_path):
+    """The evaluator must produce identical TP/FP with and without native."""
+    from PIL import Image
+
+    from ssd_keras_tpu.data import DataGenerator
+    from ssd_keras_tpu.eval import Evaluator
+
+    rng = np.random.RandomState(2)
+    n_images, n_classes = 6, 3
+    labels, fns = [], []
+    for i in range(n_images):
+        fn = tmp_path / f"im{i}.jpg"
+        Image.fromarray(rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)).save(fn)
+        fns.append(str(fn))
+        k = rng.randint(1, 4)
+        rows = []
+        for _ in range(k):
+            x1, y1 = rng.randint(0, 40, 2)
+            rows.append([rng.randint(1, n_classes + 1), x1, y1,
+                         x1 + rng.randint(5, 20), y1 + rng.randint(5, 20)])
+        labels.append(np.array(rows, dtype=np.float64))
+    neutral = [[bool(rng.rand() < 0.2) for _ in l] for l in labels]
+    gen = DataGenerator(filenames=fns, labels=labels,
+                        image_ids=[str(i) for i in range(n_images)],
+                        eval_neutral=neutral, load_images_into_memory=True)
+
+    predictions = [[] for _ in range(n_classes + 1)]
+    for _ in range(60):
+        img = rng.randint(n_images)
+        c = rng.randint(1, n_classes + 1)
+        # Half near-GT predictions, half random.
+        if rng.rand() < 0.5 and len(labels[img]) > 0:
+            g = labels[img][rng.randint(len(labels[img]))]
+            box = g[1:] + rng.randn(4) * 2
+        else:
+            x1, y1 = rng.randint(0, 40, 2)
+            box = np.array([x1, y1, x1 + rng.randint(5, 20), y1 + rng.randint(5, 20)])
+        predictions[c].append(
+            (str(img), float(rng.rand()), *[round(float(v), 1) for v in box])
+        )
+
+    def run(disable_native):
+        import os
+
+        ev = Evaluator(model=None, n_classes=n_classes, data_generator=gen)
+        ev.prediction_results = [list(p) for p in predictions]
+        if disable_native:
+            import ssd_keras_tpu.native as nat
+
+            old = nat._LIB, nat._TRIED
+            nat._LIB, nat._TRIED = None, True
+            try:
+                ev.match_predictions(verbose=False, sorting_algorithm="stable")
+            finally:
+                nat._LIB, nat._TRIED = old
+        else:
+            ev.match_predictions(verbose=False, sorting_algorithm="stable")
+        return ev.true_positives, ev.false_positives
+
+    tp_n, fp_n = run(disable_native=False)
+    tp_p, fp_p = run(disable_native=True)
+    for c in range(1, n_classes + 1):
+        np.testing.assert_array_equal(tp_n[c], tp_p[c])
+        np.testing.assert_array_equal(fp_n[c], fp_p[c])
