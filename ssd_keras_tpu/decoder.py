@@ -101,48 +101,80 @@ def decode_offsets(
 # --------------------------------------------------------------------------- #
 
 
-def _decode_one_caffe(
-    confs, corners, *, confidence_thresh, iou_threshold, top_k, nms_max_output_size
+def _nms_lanes(lane_boxes, lane_valid, iou_threshold, nms_impl):
+    """Dispatch NMS over (L, K) lanes: Pallas kernel or XLA scan.
+
+    'auto' resolves to $SSD_NMS_IMPL if set, else the scan implementation
+    (the Pallas kernel is opt-in until Mosaic support on the current platform
+    is verified; see kernels/nms_pallas.py).
+    """
+    if nms_impl == "auto":
+        import os
+
+        nms_impl = os.environ.get("SSD_NMS_IMPL", "") or "scan"
+    if nms_impl in ("pallas", "pallas_interpret"):
+        from ssd_keras_tpu.kernels.nms_pallas import greedy_nms_mask_batched
+
+        return greedy_nms_mask_batched(
+            lane_boxes, lane_valid, iou_threshold,
+            interpret=(nms_impl == "pallas_interpret"),
+        )
+    return jax.vmap(
+        lambda b, v: greedy_nms_mask(b, v, iou_threshold)
+    )(lane_boxes, lane_valid)
+
+
+def _decode_caffe_batched(
+    confs,  # (B, N, C) softmax confidences
+    corners,  # (B, N, 4)
+    *, confidence_thresh, iou_threshold, top_k, nms_max_output_size, nms_impl,
 ):
-    """Per-image Caffe-faithful decode: per-class threshold+NMS, global top-k."""
-    n_classes = confs.shape[-1]
-    # Small models (e.g. SSD7) can have fewer boxes than the NMS cap.
-    nms_max_output_size = min(nms_max_output_size, corners.shape[0])
+    """Caffe-faithful decode for a whole batch: per-class threshold + NMS,
+    then a global per-image top-k. All (batch, class) pairs are flattened into
+    independent NMS "lanes" so a single batched NMS kernel handles everything.
+    """
+    b, n, c = confs.shape
+    k = min(nms_max_output_size, n)  # small models have fewer boxes than the cap
 
-    def per_class(scores_c):
-        eligible = scores_c > confidence_thresh
-        masked = jnp.where(eligible, scores_c, -1.0)
-        cand_scores, cand_idx = jax.lax.top_k(masked, nms_max_output_size)
-        cand_boxes = corners[cand_idx]
-        valid = cand_scores > confidence_thresh
-        keep = greedy_nms_mask(cand_boxes, valid, iou_threshold)
-        return jnp.where(keep, cand_scores, 0.0), cand_boxes
+    scores = jnp.swapaxes(confs[:, :, 1:], 1, 2)  # (B, C-1, N); class 0 skipped
+    eligible = scores > confidence_thresh
+    masked = jnp.where(eligible, scores, -1.0)
+    cand_scores, cand_idx = jax.lax.top_k(masked, k)  # (B, C-1, K)
+    cand_boxes = jnp.take_along_axis(
+        corners[:, None, :, :], cand_idx[..., None], axis=2
+    )  # (B, C-1, K, 4)
+    valid = cand_scores > confidence_thresh
 
-    # vmap over positive classes 1..C-1 (class 0 = background is skipped,
-    # keras_layer_DecodeDetections.py:219-226).
-    scores_pc, boxes_pc = jax.vmap(per_class)(confs[:, 1:].T)  # (C-1, K), (C-1, K, 4)
+    keep = _nms_lanes(
+        cand_boxes.reshape(b * (c - 1), k, 4),
+        valid.reshape(b * (c - 1), k),
+        iou_threshold,
+        nms_impl,
+    ).reshape(b, c - 1, k)
+
+    kept_scores = jnp.where(keep, cand_scores, 0.0)
     class_ids = jnp.broadcast_to(
-        jnp.arange(1, n_classes, dtype=confs.dtype)[:, None], scores_pc.shape
+        jnp.arange(1, c, dtype=confs.dtype)[None, :, None], kept_scores.shape
     )
 
-    flat_scores = scores_pc.reshape(-1)
-    flat_boxes = boxes_pc.reshape(-1, 4)
-    flat_classes = class_ids.reshape(-1)
+    flat_scores = kept_scores.reshape(b, -1)
+    flat_boxes = cand_boxes.reshape(b, -1, 4)
+    flat_classes = class_ids.reshape(b, -1)
 
-    k_eff = min(top_k, flat_scores.shape[0])
-    top_scores, top_idx = jax.lax.top_k(flat_scores, k_eff)
+    k_eff = min(top_k, flat_scores.shape[1])
+    top_scores, top_idx = jax.lax.top_k(flat_scores, k_eff)  # (B, k_eff)
     out = jnp.concatenate(
         [
-            flat_classes[top_idx][:, None],
-            top_scores[:, None],
-            flat_boxes[top_idx],
+            jnp.take_along_axis(flat_classes, top_idx, axis=1)[..., None],
+            top_scores[..., None],
+            jnp.take_along_axis(flat_boxes, top_idx[..., None], axis=1),
         ],
-        axis=1,
+        axis=2,
     )
     # Zero out padding rows entirely (reference pads with zeros, :238-251).
-    out = jnp.where((top_scores > 0.0)[:, None], out, 0.0)
+    out = jnp.where((top_scores > 0.0)[..., None], out, 0.0)
     if k_eff < top_k:
-        out = jnp.pad(out, ((0, top_k - k_eff), (0, 0)))
+        out = jnp.pad(out, ((0, 0), (0, top_k - k_eff), (0, 0)))
     return out
 
 
@@ -150,7 +182,7 @@ def _decode_one_caffe(
     jax.jit,
     static_argnames=(
         "confidence_thresh", "iou_threshold", "top_k", "nms_max_output_size",
-        "input_coords", "normalize_coords", "img_height", "img_width",
+        "input_coords", "normalize_coords", "img_height", "img_width", "nms_impl",
     ),
 )
 def decode_detections_fixed(
@@ -163,55 +195,65 @@ def decode_detections_fixed(
     normalize_coords: bool = True,
     img_height: Optional[int] = None,
     img_width: Optional[int] = None,
+    nms_impl: str = "auto",
 ):
     """Caffe-faithful in-graph decode -> ``(batch, top_k, 6)``.
 
     Same selection semantics as the reference ``DecodeDetections`` layer:
     per-class confidence threshold (strict >), per-class greedy NMS capped at
     ``nms_max_output_size``, then a global top-k over all classes, zero-padded.
+
+    ``nms_impl``: 'auto' (Pallas kernel on TPU, XLA scan elsewhere), 'scan',
+    'pallas', or 'pallas_interpret' (for testing the kernel on CPU).
     """
     corners = decode_offsets(
         y_pred, input_coords, normalize_coords, img_height, img_width, xp=jnp
     )
     confs = y_pred[..., :-12]
-    fn = functools.partial(
-        _decode_one_caffe,
+    return _decode_caffe_batched(
+        confs,
+        corners,
         confidence_thresh=confidence_thresh,
         iou_threshold=iou_threshold,
         top_k=top_k,
         nms_max_output_size=nms_max_output_size,
+        nms_impl=nms_impl,
     )
-    return jax.vmap(fn)(confs, corners)
 
 
-def _decode_one_fast(
-    confs, corners, *, confidence_thresh, iou_threshold, top_k, nms_max_output_size
+def _decode_fast_batched(
+    confs, corners, *, confidence_thresh, iou_threshold, top_k,
+    nms_max_output_size, nms_impl,
 ):
-    """Per-image fast decode: argmax class first, one global NMS."""
-    nms_max_output_size = min(nms_max_output_size, corners.shape[0])
-    class_id = jnp.argmax(confs, axis=-1)
+    """Fast decode for a whole batch: argmax class first, one global NMS per
+    image (each image is one NMS lane)."""
+    b, n, _ = confs.shape
+    k = min(nms_max_output_size, n)
+    class_id = jnp.argmax(confs, axis=-1)  # (B, N)
     conf = jnp.max(confs, axis=-1)
     eligible = (class_id != 0) & (conf >= confidence_thresh)
     masked = jnp.where(eligible, conf, -1.0)
-    cand_scores, cand_idx = jax.lax.top_k(masked, nms_max_output_size)
-    cand_boxes = corners[cand_idx]
-    cand_classes = class_id[cand_idx]
+    cand_scores, cand_idx = jax.lax.top_k(masked, k)  # (B, K)
+    cand_boxes = jnp.take_along_axis(corners, cand_idx[..., None], axis=1)
+    cand_classes = jnp.take_along_axis(class_id, cand_idx, axis=1)
     valid = cand_scores > 0.0
-    keep = greedy_nms_mask(cand_boxes, valid, iou_threshold)
+    keep = _nms_lanes(cand_boxes, valid, iou_threshold, nms_impl)
     scores = jnp.where(keep, cand_scores, 0.0)
-    k_eff = min(top_k, scores.shape[0])
+    k_eff = min(top_k, scores.shape[1])
     top_scores, top_idx = jax.lax.top_k(scores, k_eff)
     out = jnp.concatenate(
         [
-            cand_classes[top_idx][:, None].astype(confs.dtype),
-            top_scores[:, None],
-            cand_boxes[top_idx],
+            jnp.take_along_axis(cand_classes, top_idx, axis=1)[..., None].astype(
+                confs.dtype
+            ),
+            top_scores[..., None],
+            jnp.take_along_axis(cand_boxes, top_idx[..., None], axis=1),
         ],
-        axis=1,
+        axis=2,
     )
-    out = jnp.where((top_scores > 0.0)[:, None], out, 0.0)
+    out = jnp.where((top_scores > 0.0)[..., None], out, 0.0)
     if k_eff < top_k:
-        out = jnp.pad(out, ((0, top_k - k_eff), (0, 0)))
+        out = jnp.pad(out, ((0, 0), (0, top_k - k_eff), (0, 0)))
     return out
 
 
@@ -219,7 +261,7 @@ def _decode_one_fast(
     jax.jit,
     static_argnames=(
         "confidence_thresh", "iou_threshold", "top_k", "nms_max_output_size",
-        "input_coords", "normalize_coords", "img_height", "img_width",
+        "input_coords", "normalize_coords", "img_height", "img_width", "nms_impl",
     ),
 )
 def decode_detections_fast_fixed(
@@ -232,6 +274,7 @@ def decode_detections_fast_fixed(
     normalize_coords: bool = True,
     img_height: Optional[int] = None,
     img_width: Optional[int] = None,
+    nms_impl: str = "auto",
 ):
     """Fast in-graph decode (argmax class, global NMS) -> ``(batch, top_k, 6)``.
 
@@ -243,14 +286,15 @@ def decode_detections_fast_fixed(
         y_pred, input_coords, normalize_coords, img_height, img_width, xp=jnp
     )
     confs = y_pred[..., :-12]
-    fn = functools.partial(
-        _decode_one_fast,
+    return _decode_fast_batched(
+        confs,
+        corners,
         confidence_thresh=confidence_thresh,
         iou_threshold=iou_threshold,
         top_k=top_k,
         nms_max_output_size=nms_max_output_size,
+        nms_impl=nms_impl,
     )
-    return jax.vmap(fn)(confs, corners)
 
 
 # --------------------------------------------------------------------------- #

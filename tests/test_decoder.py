@@ -174,3 +174,43 @@ def test_get_pred_layers():
     assert D.get_num_boxes_per_pred_layer(
         [(10, 10), (5, 5)], [[1.0, 2.0, 0.5], [1.0, 2.0]], True
     ) == [400, 75]
+
+
+def test_pallas_nms_interpret_matches_scan(y_pred):
+    """The Pallas NMS kernel (interpret mode on CPU) must select exactly the
+    same boxes as the XLA scan implementation."""
+    kwargs = dict(
+        confidence_thresh=0.3, iou_threshold=0.45, top_k=20,
+        input_coords="centroids", normalize_coords=True,
+        img_height=64, img_width=64,
+    )
+    scan = np.array(D.decode_detections_fixed(y_pred, nms_impl="scan", **kwargs))
+    pallas = np.array(
+        D.decode_detections_fixed(y_pred, nms_impl="pallas_interpret", **kwargs)
+    )
+    np.testing.assert_allclose(pallas, scan, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_nms_mask_direct():
+    from ssd_keras_tpu.kernels.nms_pallas import greedy_nms_mask_batched
+    from ssd_keras_tpu.ops.nms import greedy_nms_mask
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    L, K = 5, 37
+    boxes = rng.rand(L, K, 4).astype(np.float32) * 50
+    boxes[..., 2:] = boxes[..., :2] + rng.rand(L, K, 2).astype(np.float32) * 30 + 1
+    scores = -np.sort(-rng.rand(L, K).astype(np.float32))  # descending
+    valid = scores > 0.3
+    expected = np.asarray(
+        jax.vmap(lambda b, v: greedy_nms_mask(b, v, 0.5))(
+            jnp.asarray(boxes), jnp.asarray(valid)
+        )
+    )
+    got = np.asarray(
+        greedy_nms_mask_batched(
+            jnp.asarray(boxes), jnp.asarray(valid), 0.5, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(got, expected)
