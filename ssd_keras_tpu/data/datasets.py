@@ -173,15 +173,7 @@ class DataGenerator:
             class_id = int(row[col["class_id"]])
             if include_classes != "all" and class_id not in include_classes:
                 continue
-            box = [
-                class_id,
-                *(
-                    int(round(float(row[col[c]])))
-                    for c in self.labels_output_format
-                    if c != "class_id"
-                ),
-            ]
-            # Reorder into labels_output_format.
+            # Reorder the CSV columns into labels_output_format.
             out_row = [0] * len(self.labels_output_format)
             for i, field in enumerate(self.labels_output_format):
                 out_row[i] = class_id if field == "class_id" else int(

@@ -13,7 +13,7 @@ from typing import Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-__all__ = ["L2Normalization", "preprocess_input", "conv_ssd"]
+__all__ = ["L2Normalization", "AnchorBoxes", "preprocess_input", "conv_ssd"]
 
 
 class L2Normalization(nn.Module):
@@ -35,6 +35,54 @@ class L2Normalization(nn.Module):
         )
         norm = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(x), axis=-1, keepdims=True), 1e-12))
         return x / norm * gamma.astype(x.dtype)
+
+
+class AnchorBoxes(nn.Module):
+    """Anchor constants for one predictor layer, for custom model builders.
+
+    The built-in SSD300/512/7 modules fold anchors straight into the
+    prediction tensor via the shared generator; this module exists for users
+    composing their own backbones in the style of the reference's
+    ``AnchorBoxes`` Keras layer (keras_layers/keras_layer_AnchorBoxes.py:27):
+    given a feature map ``(B, fh, fw, ch)`` it returns the matching
+    ``(B, fh, fw, n_boxes, 8)`` anchors+variances tensor. The values are a
+    compile-time constant (XLA folds them); nothing is recomputed at runtime.
+    """
+
+    img_height: int
+    img_width: int
+    this_scale: float
+    next_scale: float
+    aspect_ratios: Sequence[float] = (0.5, 1.0, 2.0)
+    two_boxes_for_ar1: bool = True
+    this_steps: Optional[float] = None
+    this_offsets: Optional[float] = None
+    clip_boxes: bool = False
+    variances: Sequence[float] = (0.1, 0.1, 0.2, 0.2)
+    coords: str = "centroids"
+    normalize_coords: bool = True
+
+    @nn.compact
+    def __call__(self, feature_map):
+        import numpy as np
+
+        from ssd_keras_tpu.ops.anchors import anchor_grid_for_layer
+
+        fh, fw = feature_map.shape[1], feature_map.shape[2]
+        grid = anchor_grid_for_layer(
+            self.img_height, self.img_width, (fh, fw), list(self.aspect_ratios),
+            self.this_scale, self.next_scale,
+            two_boxes_for_ar1=self.two_boxes_for_ar1,
+            this_steps=self.this_steps, this_offsets=self.this_offsets,
+            clip_boxes=self.clip_boxes, normalize_coords=self.normalize_coords,
+            coords=self.coords,
+        )
+        var = np.broadcast_to(np.asarray(self.variances, np.float64), grid.shape)
+        anchors = jnp.asarray(
+            np.concatenate([grid, var], axis=-1), dtype=jnp.float32
+        )
+        b = feature_map.shape[0]
+        return jnp.broadcast_to(anchors[None], (b,) + anchors.shape)
 
 
 def preprocess_input(

@@ -1,0 +1,147 @@
+"""Training loop: fit_generator, callbacks, checkpoint save/restore, prefetch."""
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssd_keras_tpu import train as T
+from ssd_keras_tpu.config import SSDConfig
+from ssd_keras_tpu.data.prefetch import prefetch
+from ssd_keras_tpu.loss import SSDLoss
+from ssd_keras_tpu.models import ssd_7
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = SSDConfig.ssd7(n_classes=3, img_height=64, img_width=64)
+    model, sizes = ssd_7(cfg)
+    rng = np.random.RandomState(0)
+    n = cfg.total_boxes(sizes)
+    C = cfg.n_classes_with_background
+
+    def gen():
+        while True:
+            images = rng.rand(4, 64, 64, 3).astype(np.float32) * 255
+            y = np.zeros((4, n, C + 12), np.float32)
+            y[:, :, 0] = 1.0
+            for b in range(4):
+                y[b, 13 * b, 0] = 0.0
+                y[b, 13 * b, 1 + b % 3] = 1.0
+            yield images, y
+
+    return cfg, model, gen
+
+
+def _make_trainer(model, gen, tmp_path=None, mesh=None):
+    images, y = next(gen())
+    tx = T.sgd_with_momentum(learning_rate=1e-3)
+    state = T.create_train_state(model, jax.random.PRNGKey(0), images, tx, mesh=mesh)
+    step = T.make_train_step(model, SSDLoss(), l2_reg=1e-4, mesh=mesh, donate=False)
+    eval_step = T.make_eval_step(model, SSDLoss())
+    return T.Trainer(model, state, step, eval_step, mesh=mesh, base_lr=1e-3)
+
+
+def test_fit_generator_runs_and_logs(setup, tmp_path):
+    cfg, model, gen = setup
+    trainer = _make_trainer(model, gen)
+    csv_path = str(tmp_path / "log.csv")
+    history = trainer.fit_generator(
+        gen(), steps_per_epoch=3, epochs=2,
+        callbacks=[T.CSVLogger(csv_path), T.TerminateOnNaN()],
+        val_generator=gen(), validation_steps=1,
+    )
+    assert len(history["loss"]) == 2
+    assert len(history["val_loss"]) == 2
+    lines = open(csv_path).read().strip().splitlines()
+    assert lines[0] == "epoch,loss,val_loss"
+    assert len(lines) == 3
+
+
+def test_lr_scheduler_callback(setup):
+    cfg, model, gen = setup
+    trainer = _make_trainer(model, gen)
+    schedule = lambda epoch: 1e-3 if epoch < 1 else 1e-5
+    trainer.fit_generator(
+        gen(), steps_per_epoch=1, epochs=2, lr_schedule=schedule, base_lr=1e-3,
+        verbose=False,
+    )
+    lr = float(trainer.state.opt_state.hyperparams["learning_rate"])
+    assert lr == pytest.approx(1e-5)
+
+
+def test_checkpoint_save_restore(setup, tmp_path):
+    cfg, model, gen = setup
+    trainer = _make_trainer(model, gen)
+    g = gen()
+    for _ in range(2):
+        images, y = next(g)
+        trainer.state, _ = trainer.train_step(
+            trainer.state, jnp.asarray(images), jnp.asarray(y)
+        )
+    trainer.save_checkpoint(str(tmp_path), step=7)
+    saved_kernel = np.asarray(trainer.state.params["conv1"]["kernel"]).copy()
+    saved_step = int(trainer.state.step)
+
+    # Train further, then restore: parameters must roll back.
+    images, y = next(g)
+    trainer.state, _ = trainer.train_step(
+        trainer.state, jnp.asarray(images), jnp.asarray(y)
+    )
+    assert not np.allclose(
+        np.asarray(trainer.state.params["conv1"]["kernel"]), saved_kernel
+    )
+    trainer.restore_checkpoint(os.path.join(str(tmp_path), "ckpt_7"))
+    np.testing.assert_allclose(
+        np.asarray(trainer.state.params["conv1"]["kernel"]), saved_kernel
+    )
+    assert int(trainer.state.step) == saved_step
+
+
+def test_early_stopping(setup):
+    cfg, model, gen = setup
+    trainer = _make_trainer(model, gen)
+    stopper = T.EarlyStopping(monitor="loss", patience=1, min_delta=1e9)
+    history = trainer.fit_generator(
+        gen(), steps_per_epoch=1, epochs=10, callbacks=[stopper], verbose=False
+    )
+    assert len(history["loss"]) <= 3  # stopped long before 10
+
+
+def test_terminate_on_nan(setup):
+    cfg, model, gen = setup
+    trainer = _make_trainer(model, gen)
+
+    class PoisonLoss(T.Callback):
+        def on_epoch_end(self, epoch, logs, tr):
+            logs["loss"] = math.nan
+            T.TerminateOnNaN().on_epoch_end(epoch, logs, tr)
+
+    history = trainer.fit_generator(
+        gen(), steps_per_epoch=1, epochs=5, callbacks=[PoisonLoss()], verbose=False
+    )
+    assert len(history["loss"]) == 1
+
+
+def test_prefetch_generator(setup):
+    cfg, model, gen = setup
+    pf = prefetch(gen(), buffer_size=2)
+    a = next(pf)
+    b = next(pf)
+    assert a[0].shape == b[0].shape == (4, 64, 64, 3)
+    pf.stop()
+
+
+def test_prefetch_propagates_errors():
+    def bad():
+        yield 1
+        raise RuntimeError("boom")
+
+    pf = prefetch(bad(), buffer_size=2)
+    assert next(pf) == 1
+    with pytest.raises(RuntimeError, match="boom"):
+        next(pf)
+        next(pf)
