@@ -102,16 +102,26 @@ def decode_offsets(
 
 
 def _nms_lanes(lane_boxes, lane_valid, iou_threshold, nms_impl):
-    """Dispatch NMS over (L, K) lanes: Pallas kernel or XLA scan.
+    """Dispatch NMS over (L, K) lanes.
 
-    'auto' resolves to $SSD_NMS_IMPL if set, else the scan implementation
-    (the Pallas kernel is opt-in until Mosaic support on the current platform
-    is verified; see kernels/nms_pallas.py).
+    'auto' resolves to $SSD_NMS_IMPL if set, else 'fixpoint' — the MXU
+    formulation (ops/nms.py:greedy_nms_mask_fixpoint), exact greedy with a
+    handful of sequential matrix steps instead of K scan steps. Alternatives:
+    'scan' (K-step lax.scan), 'blocked' (block-decomposed scan), 'pallas' /
+    'pallas_interpret' (the VMEM-resident Pallas kernel).
     """
     if nms_impl == "auto":
         import os
 
-        nms_impl = os.environ.get("SSD_NMS_IMPL", "") or "scan"
+        nms_impl = os.environ.get("SSD_NMS_IMPL", "") or "fixpoint"
+    if nms_impl == "fixpoint":
+        from ssd_keras_tpu.ops.nms import greedy_nms_mask_fixpoint
+
+        return greedy_nms_mask_fixpoint(lane_boxes, lane_valid, iou_threshold)
+    if nms_impl == "blocked":
+        from ssd_keras_tpu.ops.nms import greedy_nms_mask_blocked
+
+        return greedy_nms_mask_blocked(lane_boxes, lane_valid, iou_threshold)
     if nms_impl in ("pallas", "pallas_interpret"):
         from ssd_keras_tpu.kernels.nms_pallas import greedy_nms_mask_batched
 

@@ -45,7 +45,7 @@ def _nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, keep_ref, sup_ref,
     keep_ref[:] = jnp.zeros_like(keep_ref)  # padded rows stay unselected
 
     area = (x2_ref[:] - x1_ref[:]) * (y2_ref[:] - y1_ref[:])  # (K, L)
-    row_ids = jax.lax.broadcasted_iota(jnp.float32, (k_pad, x1_ref.shape[1]), 0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (k_pad, x1_ref.shape[1]), 0)
 
     def body(i, _):
         # Current candidate (row i) broadcast against all rows, per lane.

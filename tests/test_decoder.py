@@ -214,3 +214,39 @@ def test_pallas_nms_mask_direct():
         )
     )
     np.testing.assert_array_equal(got, expected)
+
+
+@pytest.mark.parametrize("impl", ["fixpoint", "blocked"])
+def test_nms_impl_variants_match_scan(y_pred, impl):
+    kwargs = dict(
+        confidence_thresh=0.3, iou_threshold=0.45, top_k=20,
+        input_coords="centroids", normalize_coords=True,
+        img_height=64, img_width=64,
+    )
+    scan = np.array(D.decode_detections_fixed(y_pred, nms_impl="scan", **kwargs))
+    got = np.array(D.decode_detections_fixed(y_pred, nms_impl=impl, **kwargs))
+    np.testing.assert_allclose(got, scan, rtol=1e-5, atol=1e-5)
+
+
+def test_nms_fixpoint_fuzz():
+    import jax
+    import jax.numpy as jnp
+
+    from ssd_keras_tpu.ops.nms import greedy_nms_mask, greedy_nms_mask_fixpoint
+
+    rng = np.random.RandomState(7)
+    for trial in range(5):
+        L, K = 6, 50
+        # Dense overlaps to force deep suppression chains.
+        boxes = rng.rand(L, K, 4).astype(np.float32) * 40
+        boxes[..., 2:] = boxes[..., :2] + rng.rand(L, K, 2).astype(np.float32) * 30 + 3
+        valid = rng.rand(L, K) > 0.2
+        expected = np.asarray(
+            jax.vmap(lambda b, v: greedy_nms_mask(b, v, 0.45))(
+                jnp.asarray(boxes), jnp.asarray(valid)
+            )
+        )
+        got = np.asarray(
+            greedy_nms_mask_fixpoint(jnp.asarray(boxes), jnp.asarray(valid), 0.45)
+        )
+        np.testing.assert_array_equal(got, expected)
