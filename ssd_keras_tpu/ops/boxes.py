@@ -26,6 +26,7 @@ import numpy as np
 __all__ = [
     "border_delta",
     "convert_coordinates",
+    "convert_coordinates2",
     "corner_indices",
     "intersection_area",
     "iou",
@@ -102,6 +103,49 @@ def convert_coordinates(tensor, start_index, conversion, border_pixels="half", x
         axis=-1,
     )
     return result
+
+
+_M_MINMAX2CENTROIDS = np.array(
+    [[0.5, 0.0, -1.0, 0.0],
+     [0.5, 0.0, 1.0, 0.0],
+     [0.0, 0.5, 0.0, -1.0],
+     [0.0, 0.5, 0.0, 1.0]]
+)
+_M_CENTROIDS2MINMAX = np.array(
+    [[1.0, 1.0, 0.0, 0.0],
+     [0.0, 0.0, 1.0, 1.0],
+     [-0.5, 0.5, 0.0, 0.0],
+     [0.0, 0.0, -0.5, 0.5]]
+)
+
+
+def convert_coordinates2(tensor, start_index, conversion, xp=np):
+    """Matrix-multiplication variant of :func:`convert_coordinates`.
+
+    Supports 'minmax2centroids' and 'centroids2minmax' only (the two
+    conversions expressible as a single linear map); on TPU the 4x4 contraction
+    rides the MXU. Capability parity: bounding_box_utils.py:89-117.
+    """
+    if conversion == "minmax2centroids":
+        m = _M_MINMAX2CENTROIDS
+    elif conversion == "centroids2minmax":
+        m = _M_CENTROIDS2MINMAX
+    else:
+        raise ValueError(
+            "Supported conversions: 'minmax2centroids', 'centroids2minmax'; "
+            f"got {conversion!r}."
+        )
+    tensor = xp.asarray(tensor)
+    ind = start_index if start_index >= 0 else tensor.shape[-1] + start_index
+    converted = tensor[..., ind : ind + 4] @ xp.asarray(m, dtype=tensor.dtype)
+    return xp.concatenate(
+        [
+            tensor[..., :ind].astype(converted.dtype),
+            converted,
+            tensor[..., ind + 4 :].astype(converted.dtype),
+        ],
+        axis=-1,
+    )
 
 
 def _split_corners(boxes, coords):

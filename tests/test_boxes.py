@@ -113,3 +113,17 @@ def test_convert_parity_with_reference(conversion, border):
     expected = ref_convert(t, start_index=2, conversion=conversion, border_pixels=border)
     got = B.convert_coordinates(t, 2, conversion, border)
     np.testing.assert_allclose(got, expected, rtol=1e-12)
+
+
+@requires_reference
+@pytest.mark.parametrize("conversion", ["minmax2centroids", "centroids2minmax"])
+def test_convert_coordinates2_parity(conversion):
+    from bounding_box_utils.bounding_box_utils import (
+        convert_coordinates2 as ref_convert2,
+    )
+
+    rng = np.random.RandomState(5)
+    t = rng.rand(6, 9) * 100
+    expected = ref_convert2(t, start_index=3, conversion=conversion)
+    got = B.convert_coordinates2(t, 3, conversion)
+    np.testing.assert_allclose(got, expected, rtol=1e-12)
