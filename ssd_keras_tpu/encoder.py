@@ -25,7 +25,7 @@ import numpy as np
 
 from ssd_keras_tpu.config import SSDConfig
 from ssd_keras_tpu.ops import boxes as box_ops
-from ssd_keras_tpu.ops.matching import match_bipartite_greedy, match_multi
+from ssd_keras_tpu.ops.matching import match_bipartite_greedy_topk, match_multi
 
 __all__ = ["SSDInputEncoder", "DegenerateBoxError", "encode_targets", "pad_labels"]
 
@@ -104,8 +104,9 @@ def _encode_one(
     # Padded rows must never win any argmax: live IoUs are >= 0.
     similarities = jnp.where(valid[:, None], similarities, -1.0)
 
-    # --- Stage 1: greedy bipartite matching (one anchor per GT). ---
-    bip_matches, _ = match_bipartite_greedy(similarities, n_valid)
+    # --- Stage 1: greedy bipartite matching (one anchor per GT). Runs on a
+    # top-M reduced matrix: ~270x less scan state at SSD300 scale. ---
+    bip_matches = match_bipartite_greedy_topk(similarities, n_valid)
     # assigned[a] = index of the GT matched to anchor a, or max_gt if none.
     assigned = jnp.full((n_anchors,), max_gt, dtype=jnp.int32)
     assigned = assigned.at[bip_matches].set(

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["match_bipartite_greedy", "match_multi"]
+__all__ = ["match_bipartite_greedy", "match_bipartite_greedy_topk", "match_multi"]
 
 
 def match_bipartite_greedy(weight_matrix: jnp.ndarray, n_valid: jnp.ndarray):
@@ -61,6 +61,46 @@ def match_bipartite_greedy(weight_matrix: jnp.ndarray, n_valid: jnp.ndarray):
         step, (weight_matrix, matches0), jnp.arange(m, dtype=jnp.int32)
     )
     return matches, w_final
+
+
+def match_bipartite_greedy_topk(weight_matrix: jnp.ndarray, n_valid: jnp.ndarray):
+    """Greedy bipartite matching via a top-M reduced matrix (TPU fast path).
+
+    Exactly the same matches as :func:`match_bipartite_greedy` for live rows,
+    but the m-step scan runs on an ``(m, m)`` matrix instead of ``(m, n)``:
+    since at most ``m - 1`` anchor columns are consumed before any row's turn,
+    every row's greedy match lies within its own top-``m`` columns by weight.
+    ``lax.top_k`` is stable (first-occurring wins among equals), preserving
+    NumPy argmax tie-breaking. For SSD scales (m <= 64, n ~ 8732-24564) the
+    scan state shrinks ~n/m-fold.
+
+    Returns only the ``(m,)`` matches (column ``n`` = no match); callers that
+    need the consumed matrix can zero the matched columns themselves.
+    """
+    m, n = weight_matrix.shape
+    top_vals, top_cols = jax.lax.top_k(weight_matrix, min(m, n))  # (m, m)
+    matches0 = jnp.full((m,), n, dtype=jnp.int32)
+
+    def step(state, i):
+        vals, matches = state
+        live = i < n_valid
+        flat_idx = jnp.argmax(vals)
+        gt = (flat_idx // vals.shape[1]).astype(jnp.int32)
+        slot = flat_idx % vals.shape[1]
+        anchor = top_cols[gt, slot].astype(jnp.int32)
+        gt_w = jnp.where(live, gt, m)
+        anchor_w = jnp.where(live, anchor, n)
+        matches = matches.at[gt_w].set(anchor_w, mode="drop")
+        # Consume: zero the matched row, and every slot referencing the
+        # matched column (reduced-matrix analogue of zeroing the column).
+        vals = vals.at[gt_w, :].set(0.0, mode="drop")
+        vals = jnp.where((top_cols == anchor) & live, 0.0, vals)
+        return (vals, matches), None
+
+    (_, matches), _ = jax.lax.scan(
+        step, (top_vals, matches0), jnp.arange(m, dtype=jnp.int32)
+    )
+    return matches
 
 
 def match_multi(weight_matrix: jnp.ndarray, threshold: float):

@@ -77,3 +77,16 @@ def test_multi_parity_with_reference():
         got_anchors = np.nonzero(np.array(ok))[0]
         np.testing.assert_array_equal(got_anchors, anchor_ref)
         np.testing.assert_array_equal(np.array(gt_idx)[got_anchors], gt_ref)
+
+
+def test_topk_matches_full_bipartite_fuzz():
+    from ssd_keras_tpu.ops.matching import match_bipartite_greedy_topk
+
+    rng = np.random.RandomState(9)
+    for _ in range(30):
+        m = rng.randint(1, 8)
+        n = rng.randint(max(m, 4), 60)
+        w = rng.rand(m, n)
+        full, _ = match_bipartite_greedy(jnp.asarray(_pad(w, 8)), jnp.int32(m))
+        topk = match_bipartite_greedy_topk(jnp.asarray(_pad(w, 8)), jnp.int32(m))
+        np.testing.assert_array_equal(np.array(topk), np.array(full))
