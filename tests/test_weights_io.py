@@ -115,3 +115,33 @@ def test_sample_classifier_weights_background_kept():
         np.testing.assert_allclose(
             new_k[..., b * len(classes)], kernel[..., b * n_src]
         )
+
+
+def test_ssd300_h5_name_contract(tmp_path):
+    """A reference-style .h5 with ALL SSD300 layer names must load completely
+    (the weight-port contract for the ported Caffe VGG/SSD weights)."""
+    import jax
+
+    from ssd_keras_tpu.models import ssd_300
+
+    model, _ = ssd_300()
+    x = jnp.zeros((1, 300, 300, 3), jnp.float32)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)["params"]
+    # Materialize a fake checkpoint with the reference's names/shapes.
+    params = {
+        layer: {k: np.zeros(v.shape, np.float32) for k, v in tensors.items()}
+        for layer, tensors in shapes.items()
+    }
+    path = str(tmp_path / "vgg_ssd300.h5")
+    with h5py.File(path, "w") as f:
+        for layer, tensors in params.items():
+            g = f.create_group(layer).create_group(layer)
+            for key, arr in tensors.items():
+                keras_key = {"kernel": "kernel:0", "bias": "bias:0",
+                             "gamma": "gamma:0"}[key]
+                g.create_dataset(keras_key, data=arr + 1.5)
+    loaded, _, names = W.load_keras_h5_weights(path, params)
+    assert sorted(names) == sorted(params)  # every layer matched by name
+    assert len(names) == 36  # 23 trunk convs + L2Norm + 12 heads
+    np.testing.assert_allclose(loaded["fc6"]["kernel"], 1.5)
+    np.testing.assert_allclose(loaded["conv4_3_norm"]["gamma"], 1.5)
