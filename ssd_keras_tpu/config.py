@@ -212,18 +212,20 @@ class SSDConfig:
         img_width: int = 480,
         **overrides,
     ) -> "SSDConfig":
-        """Canonical SSD7 config (keras_ssd7.py:30-53 defaults, ssd7_training.ipynb)."""
+        """Canonical SSD7 config (ssd7_training.ipynb cell 4: explicit scales
+        [0.08, 0.16, 0.32, 0.64, 0.96], [-1, 1] input scaling, unit variances)."""
         kw = dict(
             img_height=img_height,
             img_width=img_width,
             img_channels=3,
             n_classes=n_classes,
-            scales=cls.from_min_max_scale(0.08, 0.96, 4),
+            scales=(0.08, 0.16, 0.32, 0.64, 0.96),
             aspect_ratios=((0.5, 1.0, 2.0),) * 4,
             two_boxes_for_ar1=True,
             variances=(1.0, 1.0, 1.0, 1.0),
             normalize_coords=True,
-            divide_by_stddev=None,
+            subtract_mean=(127.5, 127.5, 127.5),
+            divide_by_stddev=(127.5, 127.5, 127.5),
         )
         kw.update(overrides)
         return cls(**kw)
