@@ -216,6 +216,11 @@ class DataAugmentationConstantInputSize(_Chain):
         background=(0, 0, 0),
         labels_format=None,
     ):
+        if random_scale[0] >= 1 or random_scale[1] <= 1:
+            raise ValueError(
+                "random_scale must straddle 1 (min < 1 < max) for the "
+                "zoom-in / zoom-out sequence split to make sense."
+            )
         self.labels_format = dict(labels_format or DEFAULT_LABELS_FORMAT)
         self.box_filter = BoxFilter(
             check_overlap=True, check_min_area=False, check_degenerate=False,
@@ -237,28 +242,28 @@ class DataAugmentationConstantInputSize(_Chain):
         hue = RandomHue(*random_hue)
         flip = RandomFlip(dim="horizontal", prob=random_flip,
                           labels_format=self.labels_format)
+        geo_kwargs = dict(
+            clip_boxes=clip_boxes, box_filter=self.box_filter,
+            image_validator=self.image_validator, n_trials_max=n_trials_max,
+            background=background, labels_format=self.labels_format,
+        )
         translate = RandomTranslate(
             dy_minmax=random_translate[0], dx_minmax=random_translate[1],
-            prob=random_translate[2], clip_boxes=clip_boxes,
-            box_filter=self.box_filter, image_validator=self.image_validator,
-            n_trials_max=n_trials_max, background=background,
-            labels_format=self.labels_format,
+            prob=random_translate[2], **geo_kwargs,
         )
-        scale = RandomScale(
-            min_factor=random_scale[0], max_factor=random_scale[1],
-            prob=random_scale[2], clip_boxes=clip_boxes,
-            box_filter=self.box_filter, image_validator=self.image_validator,
-            n_trials_max=n_trials_max, background=background,
-            labels_format=self.labels_format,
-        )
-        # Two order variants (brightness/contrast around the HSV round trip),
-        # mirroring the reference chain's sequence pair.
+        zoom_in = RandomScale(min_factor=1.0, max_factor=random_scale[1],
+                              prob=random_scale[2], **geo_kwargs)
+        zoom_out = RandomScale(min_factor=random_scale[0], max_factor=1.0,
+                               prob=random_scale[2], **geo_kwargs)
+        # Two variants: zoom IN (translate before scaling) with the first
+        # photometric order, zoom OUT (scaling before translating) with the
+        # second — the reference's sequence pair (:122-153).
         self.sequence1 = [to3, to_f32, brightness, contrast, to_u8, rgb2hsv,
                           to_f32, saturation, hue, to_u8, hsv2rgb,
-                          translate, scale, flip]
+                          translate, zoom_in, flip]
         self.sequence2 = [to3, to_f32, brightness, to_u8, rgb2hsv, to_f32,
                           saturation, hue, to_u8, hsv2rgb, to_f32, contrast,
-                          to_u8, translate, scale, flip]
+                          to_u8, zoom_out, translate, flip]
 
     def __call__(self, image, labels=None):
         sequence = self.sequence1 if np.random.choice(2) else self.sequence2
@@ -323,18 +328,22 @@ class DataAugmentationVariableInputSize(_Chain):
             clip_boxes=clip_boxes, prob=1.0, background=background,
             labels_format=self.labels_format,
         )
-        self.photometric = SSDPhotometricDistortions()
-        # Reuse the canonical photometric pipeline but with the given ranges.
-        self.photometric.sequence1[2] = RandomBrightness(*random_brightness)
-        self.photometric.sequence1[3] = RandomContrast(*random_contrast)
-        self.photometric.sequence1[7] = RandomSaturation(*random_saturation)
-        self.photometric.sequence1[8] = RandomHue(*random_hue)
         self.flip = RandomFlip(dim="horizontal", prob=random_flip,
                                labels_format=self.labels_format)
         self.resize = Resize(height=resize_height, width=resize_width,
                              box_filter=self.box_filter_resize,
                              labels_format=self.labels_format)
-        self.sequence = [self.photometric, self.random_patch, self.flip, self.resize]
+        # One fixed photometric order (unlike 2.18's two variants), then
+        # patch -> flip -> resize (…_variable_input_size.py:122-136).
+        self.sequence = [
+            ConvertTo3Channels(), ConvertDataType(to="float32"),
+            RandomBrightness(*random_brightness), RandomContrast(*random_contrast),
+            ConvertDataType(to="uint8"), ConvertColor(current="RGB", to="HSV"),
+            ConvertDataType(to="float32"), RandomSaturation(*random_saturation),
+            RandomHue(*random_hue), ConvertDataType(to="uint8"),
+            ConvertColor(current="HSV", to="RGB"),
+            self.random_patch, self.flip, self.resize,
+        ]
 
 
 class DataAugmentationSatellite(_Chain):
@@ -388,11 +397,6 @@ class DataAugmentationSatellite(_Chain):
             clip_boxes=clip_boxes, prob=1.0, background=background,
             labels_format=self.labels_format,
         )
-        self.photometric = SSDPhotometricDistortions()
-        self.photometric.sequence1[2] = RandomBrightness(*random_brightness)
-        self.photometric.sequence1[3] = RandomContrast(*random_contrast)
-        self.photometric.sequence1[7] = RandomSaturation(*random_saturation)
-        self.photometric.sequence1[8] = RandomHue(*random_hue)
         self.hflip = RandomFlip(dim="horizontal", prob=random_flip,
                                 labels_format=self.labels_format)
         self.vflip = RandomFlip(dim="vertical", prob=random_flip,
@@ -403,5 +407,14 @@ class DataAugmentationSatellite(_Chain):
         self.resize = Resize(height=resize_height, width=resize_width,
                              box_filter=self.box_filter_resize,
                              labels_format=self.labels_format)
-        self.sequence = [self.photometric, self.random_patch, self.hflip,
-                         self.vflip, self.rotate, self.resize]
+        # Photometric -> both flips -> right-angle rotate -> patch -> resize
+        # (…_satellite.py:125-140).
+        self.sequence = [
+            ConvertTo3Channels(), ConvertDataType(to="float32"),
+            RandomBrightness(*random_brightness), RandomContrast(*random_contrast),
+            ConvertDataType(to="uint8"), ConvertColor(current="RGB", to="HSV"),
+            ConvertDataType(to="float32"), RandomSaturation(*random_saturation),
+            RandomHue(*random_hue), ConvertDataType(to="uint8"),
+            ConvertColor(current="HSV", to="RGB"),
+            self.hflip, self.vflip, self.rotate, self.random_patch, self.resize,
+        ]

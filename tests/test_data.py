@@ -351,3 +351,36 @@ def test_apply_inverse_transforms():
 
     out = apply_inverse_transforms(preds, [[shift, None, shift]])
     np.testing.assert_allclose(out[0][0, 2:], [20, 20, 30, 30])
+
+
+def test_constant_input_size_chain():
+    from ssd_keras_tpu.data.chains import DataAugmentationConstantInputSize
+
+    np.random.seed(1)
+    chain = DataAugmentationConstantInputSize()
+    for seed in range(4):
+        img, labels = chain(_img(seed=seed), LABELS.copy())
+        assert img.shape == (100, 120, 3)  # size-preserving
+    with pytest.raises(ValueError):
+        DataAugmentationConstantInputSize(random_scale=(1.1, 2.0, 0.5))
+
+
+def test_variable_input_size_chain():
+    from ssd_keras_tpu.data.chains import DataAugmentationVariableInputSize
+
+    np.random.seed(2)
+    chain = DataAugmentationVariableInputSize(resize_height=64, resize_width=80)
+    for seed in range(4):
+        img, labels = chain(_img(90 + seed * 10, 100 + seed * 7, seed=seed),
+                            LABELS.copy())
+        assert img.shape == (64, 80, 3)
+
+
+def test_satellite_chain():
+    from ssd_keras_tpu.data.chains import DataAugmentationSatellite
+
+    np.random.seed(3)
+    chain = DataAugmentationSatellite(resize_height=64, resize_width=64)
+    for seed in range(4):
+        img, labels = chain(_img(seed=seed), LABELS.copy())
+        assert img.shape == (64, 64, 3)
