@@ -668,13 +668,14 @@ class DataGenerator:
             batch_y_encoded = None
             batch_matched = None
             if label_encoder is not None and self.labels is not None:
-                wants_matched = "matched_anchors" in returns and hasattr(
-                    label_encoder, "__call__"
-                )
+                wants_matched = "matched_anchors" in returns
                 if wants_matched:
-                    batch_y_encoded, batch_matched = label_encoder(
-                        batch_y, diagnostics=True
-                    )
+                    try:
+                        batch_y_encoded, batch_matched = label_encoder(
+                            batch_y, diagnostics=True
+                        )
+                    except TypeError:  # encoder without diagnostics support
+                        batch_y_encoded = label_encoder(batch_y)
                 else:
                     batch_y_encoded = label_encoder(batch_y)
 

@@ -317,8 +317,19 @@ def greedy_nms(boxes_scores: np.ndarray, iou_threshold: float = 0.45,
     """Greedy NMS over (k, 5+) rows ``[score, xmin, ymin, xmax, ymax, ...]``.
 
     Returns the surviving rows in selection (score-descending) order.
-    Parity: ssd_output_decoder.py:77-92 (`_greedy_nms`).
+    Parity: ssd_output_decoder.py:77-92 (`_greedy_nms`). Uses the native C++
+    kernel when available (ssd_keras_tpu/native).
     """
+    from ssd_keras_tpu import native
+    from ssd_keras_tpu.ops.boxes import border_delta
+
+    keep = native.greedy_nms_indices(
+        np.asarray(boxes_scores)[:, 0], np.asarray(boxes_scores)[:, 1:5],
+        iou_threshold, border_delta(border_pixels),
+    )
+    if keep is not None:
+        return np.asarray(boxes_scores)[keep]
+
     boxes_left = np.copy(boxes_scores)
     maxima = []
     while boxes_left.shape[0] > 0:
@@ -523,7 +534,17 @@ def get_pred_layers(y_pred_decoded, num_boxes_per_pred_layer):
 
 
 def _greedy_nms_rows(rows: np.ndarray, iou_threshold: float, border_pixels: str):
-    """Greedy NMS over (k, 6) rows ``[class, score, 4 corners]`` keyed on score."""
+    """Greedy NMS over (k, 6+) rows ``[..., score, 4 corners]`` keyed on col 1."""
+    from ssd_keras_tpu import native
+    from ssd_keras_tpu.ops.boxes import border_delta
+
+    keep = native.greedy_nms_indices(
+        np.asarray(rows)[:, 1], np.asarray(rows)[:, 2:6],
+        iou_threshold, border_delta(border_pixels),
+    )
+    if keep is not None:
+        return np.asarray(rows)[keep]
+
     boxes_left = np.copy(rows)
     maxima = []
     while boxes_left.shape[0] > 0:
