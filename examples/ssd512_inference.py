@@ -5,6 +5,11 @@ Usage:
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 
 import jax
 import jax.numpy as jnp

@@ -14,6 +14,11 @@ Usage (21 VOC classes -> background + car/person/bicycle):
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import shutil
 
 import h5py

@@ -57,22 +57,31 @@ class TrainState(train_state.TrainState):
     lr_scale: jnp.ndarray = struct.field(default_factory=lambda: jnp.ones(()))
 
 
-def sgd_with_momentum(learning_rate=1e-3, momentum=0.9):
+def sgd_with_momentum(learning_rate=1e-3, momentum=0.9, clipnorm=None):
     """The canonical SSD optimizer (ssd300_training.ipynb cell 7).
 
     Wrapped with ``inject_hyperparams`` so the learning rate is a mutable
     field of the optimizer state — that's what lets the epoch-driven
     ``LearningRateScheduler`` / ``ReduceLROnPlateau`` callbacks change it
-    without retracing the jitted train step.
+    without retracing the jitted train step. ``clipnorm`` adds global-norm
+    gradient clipping (useful when training without pretrained weights —
+    the canonical recipe starts from VGG, which is why the reference
+    survives lr 1e-3).
     """
-    return optax.inject_hyperparams(optax.sgd)(
+    tx = optax.inject_hyperparams(optax.sgd)(
         learning_rate=learning_rate, momentum=momentum
     )
+    if clipnorm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(clipnorm), tx)
+    return tx
 
 
-def adam(learning_rate=1e-3, **kwargs):
+def adam(learning_rate=1e-3, clipnorm=None, **kwargs):
     """SSD7's optimizer (ssd7_training.ipynb cell 7)."""
-    return optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate, **kwargs)
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate, **kwargs)
+    if clipnorm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(clipnorm), tx)
+    return tx
 
 
 def piecewise_lr(base_lr=1e-3, boundaries_and_scales=None):
@@ -333,11 +342,14 @@ class Trainer:
     def set_lr(self, lr: float):
         """Mutate the injected learning-rate hyperparameter in-place."""
         opt_state = self.state.opt_state
-        if hasattr(opt_state, "hyperparams") and "learning_rate" in opt_state.hyperparams:
-            opt_state.hyperparams["learning_rate"] = jnp.asarray(
-                lr, dtype=jnp.asarray(opt_state.hyperparams["learning_rate"]).dtype
-            )
-            self.state = self.state.replace(opt_state=opt_state)
+        leaves = opt_state if isinstance(opt_state, tuple) else (opt_state,)
+        for sub in leaves:
+            if hasattr(sub, "hyperparams") and "learning_rate" in sub.hyperparams:
+                sub.hyperparams["learning_rate"] = jnp.asarray(
+                    lr, dtype=jnp.asarray(sub.hyperparams["learning_rate"]).dtype
+                )
+                self.state = self.state.replace(opt_state=opt_state)
+                return
 
     def save_checkpoint(self, directory, step: int):
         import orbax.checkpoint as ocp
