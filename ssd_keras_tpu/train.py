@@ -342,7 +342,15 @@ class Trainer:
     def set_lr(self, lr: float):
         """Mutate the injected learning-rate hyperparameter in-place."""
         opt_state = self.state.opt_state
-        leaves = opt_state if isinstance(opt_state, tuple) else (opt_state,)
+        # opt_state is either InjectHyperparamsState directly or (with
+        # gradient clipping) a chain tuple containing it. NamedTuples are
+        # tuples too, so probe the state itself before its elements.
+        if hasattr(opt_state, "hyperparams"):
+            leaves = (opt_state,)
+        elif isinstance(opt_state, tuple):
+            leaves = opt_state
+        else:
+            leaves = (opt_state,)
         for sub in leaves:
             if hasattr(sub, "hyperparams") and "learning_rate" in sub.hyperparams:
                 sub.hyperparams["learning_rate"] = jnp.asarray(
