@@ -20,7 +20,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 import jax
-import numpy as np
 
 from ssd_keras_tpu import SSDConfig, SSDInputEncoder, SSDLoss
 from ssd_keras_tpu import train as T

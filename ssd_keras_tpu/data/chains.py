@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import inspect
 
-import cv2
 import numpy as np
 
 from ssd_keras_tpu.data.geometric import (

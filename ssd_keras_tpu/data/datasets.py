@@ -17,7 +17,7 @@ import os
 import pickle
 import warnings
 from copy import deepcopy
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -29,8 +29,7 @@ the arbiter — SURVEY.md §7 "hard parts").
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,11 +14,7 @@ import random as _pyrandom
 import cv2
 import numpy as np
 
-from ssd_keras_tpu.data.validation import (
-    DEFAULT_LABELS_FORMAT,
-    BoxFilter,
-    ImageValidator,
-)
+from ssd_keras_tpu.data.validation import DEFAULT_LABELS_FORMAT
 
 __all__ = [
     "Resize",

@@ -16,12 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ssd_keras_tpu.data.validation import (
-    DEFAULT_LABELS_FORMAT,
-    BoundGenerator,
-    BoxFilter,
-    ImageValidator,
-)
+from ssd_keras_tpu.data.validation import DEFAULT_LABELS_FORMAT
 
 __all__ = [
     "PatchCoordinateGenerator",

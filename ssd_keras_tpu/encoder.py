@@ -17,7 +17,7 @@ with ``[one-hot classes | 4 box offsets | 4 anchor coords | 4 variances]``.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

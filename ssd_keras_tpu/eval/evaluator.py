@@ -15,7 +15,7 @@ straight in.
 from __future__ import annotations
 
 from math import ceil
-from typing import Callable, List, Optional, Sequence
+from typing import Callable
 
 import numpy as np
 

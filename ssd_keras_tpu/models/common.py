@@ -12,7 +12,7 @@ with boxes ordered as the C-order flatten of each predictor layer's
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ EarlyStopping / ReduceLROnPlateau callbacks), re-designed TPU-first:
 from __future__ import annotations
 
 import csv
-import dataclasses
 import math
 import os
 import time
