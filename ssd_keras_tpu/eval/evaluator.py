@@ -188,7 +188,15 @@ class Evaluator:
         n_images = self.data_generator.get_dataset_size()
         n_batches = int(ceil(n_images / batch_size))
 
-        for _ in range(n_batches):
+        batches = range(n_batches)
+        if verbose:
+            try:
+                from tqdm import trange
+
+                batches = trange(n_batches, desc="Producing predictions batch-wise")
+            except ImportError:
+                pass
+        for _ in batches:
             (batch_X, batch_image_ids, batch_eval_neutral,
              batch_inverse_transforms, batch_orig_labels) = next(generator)
             y_pred = np.asarray(self.model(batch_X))

@@ -1,5 +1,6 @@
 from ssd_keras_tpu.parallel.sharding import (
     batch_sharding,
+    global_batch_from_local,
     initialize_distributed,
     make_mesh,
     replicate,
@@ -9,6 +10,7 @@ from ssd_keras_tpu.parallel.sharding import (
 
 __all__ = [
     "batch_sharding",
+    "global_batch_from_local",
     "initialize_distributed",
     "make_mesh",
     "replicate",

@@ -71,3 +71,19 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree (e.g. train state) across the mesh."""
     sharding = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def global_batch_from_local(local_batch, mesh: Mesh, axis_name: str = "data"):
+    """Assemble a global batch-sharded array from per-process local data.
+
+    The multi-host input story (SURVEY.md §5.8): each host loads/augments its
+    own shard of the global batch; this stitches the per-process arrays into
+    one global jax.Array sharded on the 'data' axis without gathering to any
+    single host. Works for a single array or a pytree. In single-process
+    settings it is equivalent to :func:`shard_batch`.
+    """
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        local_batch,
+    )

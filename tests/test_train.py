@@ -145,3 +145,35 @@ def test_prefetch_propagates_errors():
     with pytest.raises(RuntimeError, match="boom"):
         next(pf)
         next(pf)
+
+
+def test_global_batch_from_local(setup):
+    import jax
+
+    from ssd_keras_tpu.parallel import sharding as sh
+
+    mesh = sh.make_mesh()
+    local = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    arr = sh.global_batch_from_local(local, mesh)
+    assert arr.shape == (16, 4)
+    np.testing.assert_array_equal(np.asarray(arr), local)
+
+
+def test_benchmark_fps_harness(setup):
+    import jax.numpy as jnp
+
+    from ssd_keras_tpu.utils.profiling import benchmark_fps
+
+    res = benchmark_fps(lambda b: b * 2.0, np.ones((4, 8), np.float32),
+                        n_iters=5, n_repeats=2)
+    assert res["fps"] > 0 and res["batch_size"] == 4
+
+
+def test_draw_detections(setup):
+    from ssd_keras_tpu.utils.visualization import draw_detections
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    dets = np.array([[1, 0.9, 10, 10, 40, 40], [0, 0, 0, 0, 0, 0]])
+    out = draw_detections(img, dets, class_names=["bg", "car"])
+    assert out.shape == (64, 64, 3)
+    assert out.sum() > 0  # something was drawn
