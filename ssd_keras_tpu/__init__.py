@@ -11,6 +11,7 @@ data-parallel training over a ``jax.sharding.Mesh``.
 from ssd_keras_tpu.config import SSDConfig
 from ssd_keras_tpu.encoder import DegenerateBoxError, SSDInputEncoder
 from ssd_keras_tpu.loss import SSDLoss
+from ssd_keras_tpu.predictor import SSDPredictor
 from ssd_keras_tpu.decoder import (
     decode_detections,
     decode_detections_fast,
@@ -25,6 +26,7 @@ __all__ = [
     "SSDInputEncoder",
     "DegenerateBoxError",
     "SSDLoss",
+    "SSDPredictor",
     "decode_detections",
     "decode_detections_fast",
     "decode_detections_fixed",

@@ -118,3 +118,46 @@ def test_bfloat16_compute_dtype():
     y = model.apply(variables, x)
     assert y.dtype == jnp.float32  # head assembly promotes back to f32
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_ssd_predictor_end_to_end():
+    from ssd_keras_tpu.predictor import SSDPredictor
+
+    cfg = SSDConfig.ssd7(n_classes=3, img_height=64, img_width=64)
+    model, _ = ssd_7(cfg, mode="inference")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    predictor = SSDPredictor(model, variables, batch_size=2)
+
+    rng = np.random.RandomState(0)
+    # Three images of different sizes; 3 images > batch 2 forces chunk+pad.
+    images = [rng.randint(0, 255, (s, s + 10, 3), dtype=np.uint8)
+              for s in (64, 100, 40)]
+    results = predictor(images)
+    assert len(results) == 3
+    for dets in results:
+        assert dets.ndim == 2 and dets.shape[1] == 6
+        if len(dets):
+            assert np.all(dets[:, 0] != 0)  # zero padding rows removed
+            assert np.all(dets[:, 1] > 0)
+
+    # Boxes scale with the original image size: force the resize step to
+    # produce identical model input, so detections must differ only by the
+    # original-frame scale factor.
+    base = rng.randint(0, 255, (64, 64, 3), dtype=np.uint8).astype(np.float32)
+    predictor._resize_host = lambda image: base
+    d_small = predictor([base])[0]  # 64x64: no resize, scale 1
+    d_big = predictor([np.zeros((128, 128, 3), np.uint8)])[0]  # forced -> base
+    assert len(d_small) == len(d_big)
+    if len(d_small):
+        np.testing.assert_allclose(d_big[:, 2:], d_small[:, 2:] * 2, rtol=1e-4)
+        np.testing.assert_allclose(d_big[:, :2], d_small[:, :2], rtol=1e-5)
+
+
+def test_ssd_predictor_rejects_training_mode():
+    from ssd_keras_tpu.predictor import SSDPredictor
+
+    cfg = SSDConfig.ssd7(n_classes=3, img_height=64, img_width=64)
+    model, _ = ssd_7(cfg, mode="training")
+    with pytest.raises(ValueError):
+        SSDPredictor(model, {})
