@@ -233,6 +233,15 @@ class SSDInputEncoder:
             labels = np.asarray(labels)
             if labels.size == 0:
                 continue
+            class_ids = labels[:, 0]
+            if np.any(class_ids < 1) or np.any(
+                class_ids >= self.config.n_classes_with_background
+            ):
+                raise ValueError(
+                    f"Batch item {i} contains class IDs outside "
+                    f"[1, {self.config.n_classes}]: {sorted(set(class_ids))}. "
+                    "Class 0 is reserved for the background."
+                )
             if np.any(labels[:, 3] - labels[:, 1] <= 0) or np.any(
                 labels[:, 4] - labels[:, 2] <= 0
             ):

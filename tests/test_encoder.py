@@ -141,3 +141,51 @@ def test_parity_bipartite_mode(cfg):
     rng = np.random.RandomState(4)
     gts = _random_gts(rng, 4, jitter=True)
     np.testing.assert_allclose(mine(gts), ref(gts), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("coords", ["corners", "minmax"])
+def test_alternative_coords_roundtrip(coords):
+    """Encoding and decoding must invert each other in every coords mode."""
+    from ssd_keras_tpu.decoder import decode_offsets
+
+    cfg_c = SSDConfig.ssd7(
+        n_classes=5, img_height=64, img_width=64, coords=coords
+    )
+    enc = SSDInputEncoder(cfg_c, SIZES7, max_gt_boxes=8)
+    rng = np.random.RandomState(7)
+    gts = _random_gts(rng, 3)
+    y = enc(gts)
+    corners = decode_offsets(
+        y, input_coords=coords, normalize_coords=True, img_height=64, img_width=64
+    )
+    for i, gt in enumerate(gts):
+        pos = y[i, :, 1:-12].max(-1) > 0
+        decoded = corners[i][pos]
+        for box in gt:
+            dists = np.abs(decoded - box[1:]).max(axis=1)
+            assert dists.min() < 1e-2, f"{coords}: gt {box} not recovered"
+
+
+@requires_reference
+@pytest.mark.parametrize("coords", ["corners", "minmax"])
+def test_parity_alternative_coords(coords):
+    from ssd_encoder_decoder.ssd_input_encoder import SSDInputEncoder as RefEncoder
+
+    cfg_c = SSDConfig.ssd7(n_classes=5, img_height=64, img_width=64, coords=coords)
+    mine = SSDInputEncoder(cfg_c, SIZES7, max_gt_boxes=8)
+    ref = RefEncoder(
+        img_height=64, img_width=64, n_classes=5, predictor_sizes=SIZES7,
+        scales=list(cfg_c.scales), aspect_ratios_global=[0.5, 1.0, 2.0],
+        variances=list(cfg_c.variances), coords=coords,
+        neg_iou_limit=0.3, normalize_coords=True,
+    )
+    rng = np.random.RandomState(8)
+    gts = _random_gts(rng, 4, jitter=True)
+    np.testing.assert_allclose(mine(gts), ref(gts), rtol=1e-4, atol=1e-5)
+
+
+def test_out_of_range_class_raises(encoder):
+    with pytest.raises(ValueError, match="class IDs outside"):
+        encoder([np.array([[9, 10, 10, 30, 30]])])  # only 5 classes configured
+    with pytest.raises(ValueError, match="class IDs outside"):
+        encoder([np.array([[0, 10, 10, 30, 30]])])  # background not allowed
