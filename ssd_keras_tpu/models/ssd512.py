@@ -21,7 +21,12 @@ from ssd_keras_tpu.models.common import (
     same_pool_size,
     valid_size,
 )
-from ssd_keras_tpu.models.layers import L2Normalization, conv_ssd, preprocess_input
+from ssd_keras_tpu.models.layers import (
+    L2Normalization,
+    conv_ssd,
+    fused_prediction_heads,
+    preprocess_input,
+)
 
 __all__ = ["SSD512", "ssd_512", "ssd512_predictor_sizes"]
 
@@ -127,11 +132,11 @@ class SSD512(nn.Module):
         )
         conf_maps, loc_maps = [], []
         for i, src in enumerate(_HEAD_SOURCES):
-            feat = features[src]
-            conf_maps.append(
-                conv(n_boxes[i] * n_classes, (3, 3), f"{src}_mbox_conf")(feat)
+            conf_map, loc_map = fused_prediction_heads(
+                self, features[src], src, n_boxes[i], n_classes, dt
             )
-            loc_maps.append(conv(n_boxes[i] * 4, (3, 3), f"{src}_mbox_loc")(feat))
+            conf_maps.append(conf_map)
+            loc_maps.append(loc_map)
 
         predictor_sizes = [m.shape[1:3] for m in loc_maps]
         anchors8 = cfg.anchor_tensor(predictor_sizes)

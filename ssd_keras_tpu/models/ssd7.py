@@ -17,7 +17,7 @@ import numpy as np
 
 from ssd_keras_tpu.config import SSDConfig
 from ssd_keras_tpu.models.common import apply_mode, assemble_predictions
-from ssd_keras_tpu.models.layers import conv_ssd, preprocess_input
+from ssd_keras_tpu.models.layers import conv_ssd, fused_prediction_heads, preprocess_input
 
 __all__ = ["SSD7", "build_model", "ssd_7", "ssd7_predictor_sizes"]
 
@@ -76,14 +76,12 @@ class SSD7(nn.Module):
 
         conf_maps, loc_maps = [], []
         for j, layer in enumerate(_HEAD_LAYERS):
-            conf_maps.append(
-                conv_ssd(n_boxes[j] * n_classes, (3, 3), f"classes{layer}", dtype=dt)(
-                    feats[layer]
-                )
+            conf_map, loc_map = fused_prediction_heads(
+                self, feats[layer], f"__head{layer}", n_boxes[j], n_classes, dt,
+                conf_name=f"classes{layer}", loc_name=f"boxes{layer}",
             )
-            loc_maps.append(
-                conv_ssd(n_boxes[j] * 4, (3, 3), f"boxes{layer}", dtype=dt)(feats[layer])
-            )
+            conf_maps.append(conf_map)
+            loc_maps.append(loc_map)
 
         predictor_sizes = [m.shape[1:3] for m in loc_maps]
         anchors8 = cfg.anchor_tensor(predictor_sizes)
