@@ -11,6 +11,11 @@ import json
 import os
 import time
 
+# Persist compiled executables across invocations (first SSD300 compile is
+# slow; the cache makes driver re-runs fast).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+
 BASELINE_FPS_BATCH8 = 49.0  # reference SSD300 @ batch 8 on GTX 1070
 
 

@@ -144,8 +144,15 @@ class Evaluator:
         round_confidences=False,
         verbose=True,
         ret=False,
+        device_decode=True,
     ):
-        """Run the model over the whole dataset and bucket boxes per class."""
+        """Run the model over the whole dataset and bucket boxes per class.
+
+        With ``device_decode`` (default), 'training'-mode raw predictions are
+        decoded by the fixed-shape on-device decoder (same Caffe-faithful
+        semantics, parity-tested) instead of the per-class host loop — much
+        faster on large datasets. Set False for the host NumPy decoder.
+        """
         pf = self.pred_format
         transformations = [ConvertTo3Channels()]
         if data_generator_mode == "pad":
@@ -200,7 +207,23 @@ class Evaluator:
             (batch_X, batch_image_ids, batch_eval_neutral,
              batch_inverse_transforms, batch_orig_labels) = next(generator)
             y_pred = np.asarray(self.model(batch_X))
-            if self.model_mode == "training":
+            if self.model_mode == "training" and device_decode:
+                from ssd_keras_tpu.decoder import decode_detections_fixed
+
+                decoded = np.asarray(
+                    decode_detections_fixed(
+                        y_pred,
+                        confidence_thresh=decoding_confidence_thresh,
+                        iou_threshold=decoding_iou_threshold,
+                        top_k=decoding_top_k,
+                        input_coords=decoding_pred_coords,
+                        normalize_coords=decoding_normalize_coords,
+                        img_height=img_height,
+                        img_width=img_width,
+                    )
+                )
+                y_pred = [item[item[:, 0] != 0] for item in decoded]
+            elif self.model_mode == "training":
                 y_pred = decode_detections(
                     y_pred,
                     confidence_thresh=decoding_confidence_thresh,

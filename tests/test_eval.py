@@ -133,3 +133,40 @@ def test_end_to_end_with_constant_model(tmp_path):
                    model_mode="inference")
     mAP = ev(img_height=64, img_width=64, batch_size=2, verbose=False)
     assert mAP == pytest.approx(1.0)
+
+
+def test_device_decode_matches_host_decode_path(tmp_path):
+    """Evaluator mAP must be identical with device or host decoding of
+    'training'-mode predictions."""
+    import jax
+
+    from ssd_keras_tpu.config import SSDConfig
+    from ssd_keras_tpu.models import ssd_7
+
+    cfg = SSDConfig.ssd7(n_classes=2, img_height=64, img_width=64)
+    model, _ = ssd_7(cfg, mode="training")
+    variables = model.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32))
+    fwd = jax.jit(lambda x: model.apply(variables, x))
+
+    labels = [[[1, 10, 10, 30, 30]], [[2, 20, 20, 50, 50]]]
+    gen = _dataset(tmp_path, labels)
+
+    maps = []
+    for device_decode in (True, False):
+        ev = Evaluator(
+            model=lambda b: np.asarray(fwd(np.asarray(b, np.float32))),
+            n_classes=2, data_generator=gen, model_mode="training",
+        )
+        ev.predict_on_dataset(
+            img_height=64, img_width=64, batch_size=2, verbose=False,
+            decoding_confidence_thresh=0.3, device_decode=device_decode,
+        )
+        ev.get_num_gt_per_class(verbose=False)
+        ev.match_predictions(verbose=False)
+        ev.compute_precision_recall()
+        ev.compute_average_precisions()
+        maps.append(ev.compute_mean_average_precision())
+        n_preds = [len(p) for p in ev.prediction_results]
+        maps.append(tuple(n_preds))
+    assert maps[0] == pytest.approx(maps[2])
+    assert maps[1] == maps[3]  # identical per-class prediction counts
