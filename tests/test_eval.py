@@ -157,9 +157,13 @@ def test_device_decode_matches_host_decode_path(tmp_path):
             model=lambda b: np.asarray(fwd(np.asarray(b, np.float32))),
             n_classes=2, data_generator=gen, model_mode="training",
         )
+        # Threshold high enough that fewer than nms_max candidates per class
+        # are eligible: below that cap the in-graph decode (which, like the
+        # reference's DecodeDetections layer, pre-trims to nms_max) and the
+        # uncapped host decoder select identically.
         ev.predict_on_dataset(
             img_height=64, img_width=64, batch_size=2, verbose=False,
-            decoding_confidence_thresh=0.3, device_decode=device_decode,
+            decoding_confidence_thresh=0.6, device_decode=device_decode,
         )
         ev.get_num_gt_per_class(verbose=False)
         ev.match_predictions(verbose=False)
