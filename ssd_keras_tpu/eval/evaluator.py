@@ -149,9 +149,12 @@ class Evaluator:
         """Run the model over the whole dataset and bucket boxes per class.
 
         With ``device_decode`` (default), 'training'-mode raw predictions are
-        decoded by the fixed-shape on-device decoder (same Caffe-faithful
-        semantics, parity-tested) instead of the per-class host loop — much
-        faster on large datasets. Set False for the host NumPy decoder.
+        decoded by the fixed-shape on-device decoder — exactly the
+        DecodeDetections-layer semantics ('half'-convention NMS IoU, nms_max
+        candidate cap), i.e. what an 'inference'-mode model would have
+        produced — and much faster on large datasets. Set False for the host
+        NumPy decoder, which honors ``decoding_border_pixels`` and has no
+        candidate cap (the reference's training-mode evaluation behavior).
         """
         pf = self.pred_format
         transformations = [ConvertTo3Channels()]

@@ -161,9 +161,13 @@ def test_device_decode_matches_host_decode_path(tmp_path):
         # are eligible: below that cap the in-graph decode (which, like the
         # reference's DecodeDetections layer, pre-trims to nms_max) and the
         # uncapped host decoder select identically.
+        # 'half' border pixels: the in-graph decode's NMS (like the
+        # reference's tf.image.non_max_suppression) always uses standard IoU,
+        # while the host decoder honors border_pixels.
         ev.predict_on_dataset(
             img_height=64, img_width=64, batch_size=2, verbose=False,
             decoding_confidence_thresh=0.6, device_decode=device_decode,
+            decoding_border_pixels="half",
         )
         ev.get_num_gt_per_class(verbose=False)
         ev.match_predictions(verbose=False)
