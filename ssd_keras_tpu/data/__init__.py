@@ -1,7 +1,9 @@
 from ssd_keras_tpu.data.datasets import DataGenerator, DatasetError, DegenerateBatchError
 from ssd_keras_tpu.data.validation import BoundGenerator, BoxFilter, ImageValidator
 from ssd_keras_tpu.data.misc import apply_inverse_transforms
-from ssd_keras_tpu.data import chains, geometric, patch_sampling, photometric
+from ssd_keras_tpu.data import chains, device_aug, geometric, patch_sampling, photometric
+from ssd_keras_tpu.data.device_aug import DeviceSSDAugmentation
+from ssd_keras_tpu.data.prefetch import PrefetchGenerator, prefetch
 
 __all__ = [
     "DataGenerator",
@@ -12,6 +14,10 @@ __all__ = [
     "ImageValidator",
     "apply_inverse_transforms",
     "chains",
+    "device_aug",
+    "DeviceSSDAugmentation",
+    "PrefetchGenerator",
+    "prefetch",
     "geometric",
     "patch_sampling",
     "photometric",
