@@ -35,9 +35,15 @@ class DegenerateBoxError(Exception):
 
 
 def pad_labels(
-    ground_truth_labels: Sequence[np.ndarray], max_gt: int
+    ground_truth_labels: Sequence[np.ndarray], max_gt: int, truncate: bool = False
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Pad a ragged list of (k_i, 5) label arrays to (batch, max_gt, 5) + counts."""
+    """Pad a ragged list of (k_i, 5) label arrays to (batch, max_gt, 5) + counts.
+
+    Images with more than ``max_gt`` boxes raise by default; with
+    ``truncate=True`` the largest-area ``max_gt`` boxes are kept instead
+    (useful for crowd-heavy datasets where a few outlier images would
+    otherwise force a larger static shape for everyone).
+    """
     batch = len(ground_truth_labels)
     padded = np.zeros((batch, max_gt, 5), dtype=np.float32)
     counts = np.zeros((batch,), dtype=np.int32)
@@ -47,10 +53,15 @@ def pad_labels(
             continue
         k = labels.shape[0]
         if k > max_gt:
-            raise ValueError(
-                f"Image {i} has {k} ground truth boxes, exceeding max_gt={max_gt}. "
-                "Raise `max_gt_boxes` on the encoder."
-            )
+            if not truncate:
+                raise ValueError(
+                    f"Image {i} has {k} ground truth boxes, exceeding "
+                    f"max_gt={max_gt}. Raise `max_gt_boxes` on the encoder "
+                    "or pass truncate=True."
+                )
+            areas = (labels[:, 3] - labels[:, 1]) * (labels[:, 4] - labels[:, 2])
+            labels = labels[np.argsort(-areas)[:max_gt]]
+            k = max_gt
         padded[i, :k] = labels
         counts[i] = k
     return padded, counts

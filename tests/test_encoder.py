@@ -189,3 +189,15 @@ def test_out_of_range_class_raises(encoder):
         encoder([np.array([[9, 10, 10, 30, 30]])])  # only 5 classes configured
     with pytest.raises(ValueError, match="class IDs outside"):
         encoder([np.array([[0, 10, 10, 30, 30]])])  # background not allowed
+
+
+def test_pad_labels_truncate_keeps_largest():
+    boxes = np.array([
+        [1, 0, 0, 10, 10],   # area 100
+        [2, 0, 0, 50, 50],   # area 2500 (largest)
+        [3, 0, 0, 20, 20],   # area 400
+    ], dtype=np.float32)
+    padded, counts = pad_labels([boxes], 2, truncate=True)
+    assert counts.tolist() == [2]
+    kept_classes = set(padded[0, :2, 0].astype(int).tolist())
+    assert kept_classes == {2, 3}
