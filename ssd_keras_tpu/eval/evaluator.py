@@ -209,7 +209,11 @@ class Evaluator:
         for _ in batches:
             (batch_X, batch_image_ids, batch_eval_neutral,
              batch_inverse_transforms, batch_orig_labels) = next(generator)
-            y_pred = np.asarray(self.model(batch_X))
+            # Keep the model output wherever it lives (device for a jitted
+            # apply): the raw (B, #boxes, C+12) tensor is large, and pulling
+            # it to host just to re-upload for decoding costs more than the
+            # whole forward pass. Only decoded detections cross the boundary.
+            y_pred = self.model(batch_X)
             if self.model_mode == "training" and device_decode:
                 from ssd_keras_tpu.decoder import decode_detections_fixed
 
@@ -228,7 +232,7 @@ class Evaluator:
                 y_pred = [item[item[:, 0] != 0] for item in decoded]
             elif self.model_mode == "training":
                 y_pred = decode_detections(
-                    y_pred,
+                    np.asarray(y_pred),
                     confidence_thresh=decoding_confidence_thresh,
                     iou_threshold=decoding_iou_threshold,
                     top_k=decoding_top_k,
@@ -240,6 +244,7 @@ class Evaluator:
                 )
             else:
                 # Decoded in-graph: drop all-zero padding rows.
+                y_pred = np.asarray(y_pred)
                 y_pred = [item[item[:, 0] != 0] for item in y_pred]
             y_pred = apply_inverse_transforms(y_pred, batch_inverse_transforms)
 
