@@ -101,27 +101,34 @@ def decode_offsets(
 # --------------------------------------------------------------------------- #
 
 
-def _nms_lanes(lane_boxes, lane_valid, iou_threshold, nms_impl):
+def _nms_lanes(lane_boxes, lane_valid, iou_threshold, nms_impl, border_delta=0.0):
     """Dispatch NMS over (L, K) lanes.
 
     'auto' resolves to $SSD_NMS_IMPL if set, else 'fixpoint' — the MXU
     formulation (ops/nms.py:greedy_nms_mask_fixpoint), exact greedy with a
     handful of sequential matrix steps instead of K scan steps. Alternatives:
     'scan' (K-step lax.scan), 'blocked' (block-decomposed scan), 'pallas' /
-    'pallas_interpret' (the VMEM-resident Pallas kernel).
+    'pallas_interpret' (the VMEM-resident Pallas kernel; 'half' IoU only —
+    a nonzero ``border_delta`` falls back to 'fixpoint').
     """
     if nms_impl == "auto":
         import os
 
         nms_impl = os.environ.get("SSD_NMS_IMPL", "") or "fixpoint"
+    if nms_impl in ("pallas", "pallas_interpret") and border_delta != 0.0:
+        nms_impl = "fixpoint"
     if nms_impl == "fixpoint":
         from ssd_keras_tpu.ops.nms import greedy_nms_mask_fixpoint
 
-        return greedy_nms_mask_fixpoint(lane_boxes, lane_valid, iou_threshold)
+        return greedy_nms_mask_fixpoint(
+            lane_boxes, lane_valid, iou_threshold, border_delta
+        )
     if nms_impl == "blocked":
         from ssd_keras_tpu.ops.nms import greedy_nms_mask_blocked
 
-        return greedy_nms_mask_blocked(lane_boxes, lane_valid, iou_threshold)
+        return greedy_nms_mask_blocked(
+            lane_boxes, lane_valid, iou_threshold, border_delta=border_delta
+        )
     if nms_impl in ("pallas", "pallas_interpret"):
         from ssd_keras_tpu.kernels.nms_pallas import greedy_nms_mask_batched
 
@@ -130,7 +137,7 @@ def _nms_lanes(lane_boxes, lane_valid, iou_threshold, nms_impl):
             interpret=(nms_impl == "pallas_interpret"),
         )
     return jax.vmap(
-        lambda b, v: greedy_nms_mask(b, v, iou_threshold)
+        lambda b, v: greedy_nms_mask(b, v, iou_threshold, border_delta)
     )(lane_boxes, lane_valid)
 
 
@@ -138,13 +145,29 @@ def _decode_caffe_batched(
     confs,  # (B, N, C) softmax confidences
     corners,  # (B, N, 4)
     *, confidence_thresh, iou_threshold, top_k, nms_max_output_size, nms_impl,
+    nms_candidates=None, border_delta=0.0,
 ):
     """Caffe-faithful decode for a whole batch: per-class threshold + NMS,
     then a global per-image top-k. All (batch, class) pairs are flattened into
     independent NMS "lanes" so a single batched NMS kernel handles everything.
+
+    Candidate-pool semantics: the reference NMS-es ALL above-threshold boxes
+    and caps only the *output* at ``nms_max_output_size``
+    (keras_layer_DecodeDetections.py:195-214); a fixed-shape kernel needs a
+    static pool, so NMS runs over the top ``nms_candidates`` candidates by
+    score (default: ``nms_max_output_size``). Because greedy NMS processes
+    candidates score-descending and a candidate can only be suppressed by a
+    HIGHER-scoring kept box, truncating the pool to the top P candidates
+    yields exactly the highest-scoring survivors of the full NMS — it can
+    only *omit* survivors scored below the P-th candidate, never change which
+    of the top-P survive. Divergence from the reference therefore requires
+    BOTH (a) >P candidates of one class above ``confidence_thresh`` and
+    (b) a survivor below the P-th score that would have made the global
+    top-k. Raise ``nms_candidates`` to push that regime out arbitrarily.
     """
     b, n, c = confs.shape
-    k = min(nms_max_output_size, n)  # small models have fewer boxes than the cap
+    pool = max(nms_candidates or 0, nms_max_output_size)
+    k = min(pool, n)  # small models have fewer boxes than the cap
 
     scores = jnp.swapaxes(confs[:, :, 1:], 1, 2)  # (B, C-1, N); class 0 skipped
     eligible = scores > confidence_thresh
@@ -160,7 +183,12 @@ def _decode_caffe_batched(
         valid.reshape(b * (c - 1), k),
         iou_threshold,
         nms_impl,
+        border_delta,
     ).reshape(b, c - 1, k)
+    if k > nms_max_output_size:
+        # Reference semantics: at most nms_max_output_size survivors per
+        # class. Candidates are score-descending, so survivors are too.
+        keep = keep & (jnp.cumsum(keep, axis=-1) <= nms_max_output_size)
 
     kept_scores = jnp.where(keep, cand_scores, 0.0)
     class_ids = jnp.broadcast_to(
@@ -193,6 +221,7 @@ def _decode_caffe_batched(
     static_argnames=(
         "confidence_thresh", "iou_threshold", "top_k", "nms_max_output_size",
         "input_coords", "normalize_coords", "img_height", "img_width", "nms_impl",
+        "nms_candidates", "border_pixels",
     ),
 )
 def decode_detections_fixed(
@@ -206,16 +235,27 @@ def decode_detections_fixed(
     img_height: Optional[int] = None,
     img_width: Optional[int] = None,
     nms_impl: str = "auto",
+    nms_candidates: Optional[int] = None,
+    border_pixels: str = "half",
 ):
     """Caffe-faithful in-graph decode -> ``(batch, top_k, 6)``.
 
     Same selection semantics as the reference ``DecodeDetections`` layer:
     per-class confidence threshold (strict >), per-class greedy NMS capped at
-    ``nms_max_output_size``, then a global top-k over all classes, zero-padded.
+    ``nms_max_output_size`` survivors, then a global top-k over all classes,
+    zero-padded. The NMS candidate pool is static (``nms_candidates``,
+    default ``nms_max_output_size``); see ``_decode_caffe_batched`` for the
+    exactness bound and when to raise it.
 
-    ``nms_impl``: 'auto' (Pallas kernel on TPU, XLA scan elsewhere), 'scan',
-    'pallas', or 'pallas_interpret' (for testing the kernel on CPU).
+    ``border_pixels`` sets the NMS IoU border convention ('half' matches the
+    reference's in-graph tf.image.non_max_suppression; 'include' matches its
+    host-side ``decode_detections`` default).
+
+    ``nms_impl``: 'auto' (fixpoint), 'scan', 'blocked', 'pallas', or
+    'pallas_interpret' (for testing the kernel on CPU).
     """
+    from ssd_keras_tpu.ops.boxes import border_delta as _bd
+
     corners = decode_offsets(
         y_pred, input_coords, normalize_coords, img_height, img_width, xp=jnp
     )
@@ -228,17 +268,22 @@ def decode_detections_fixed(
         top_k=top_k,
         nms_max_output_size=nms_max_output_size,
         nms_impl=nms_impl,
+        nms_candidates=nms_candidates,
+        border_delta=_bd(border_pixels),
     )
 
 
 def _decode_fast_batched(
     confs, corners, *, confidence_thresh, iou_threshold, top_k,
-    nms_max_output_size, nms_impl,
+    nms_max_output_size, nms_impl, nms_candidates=None, border_delta=0.0,
 ):
     """Fast decode for a whole batch: argmax class first, one global NMS per
-    image (each image is one NMS lane)."""
+    image (each image is one NMS lane). Candidate-pool truncation semantics
+    as in ``_decode_caffe_batched`` (score-descending greedy NMS means the
+    top-P pool yields exactly the highest-scoring survivors)."""
     b, n, _ = confs.shape
-    k = min(nms_max_output_size, n)
+    pool = max(nms_candidates or 0, nms_max_output_size)
+    k = min(pool, n)
     class_id = jnp.argmax(confs, axis=-1)  # (B, N)
     conf = jnp.max(confs, axis=-1)
     eligible = (class_id != 0) & (conf >= confidence_thresh)
@@ -247,7 +292,9 @@ def _decode_fast_batched(
     cand_boxes = jnp.take_along_axis(corners, cand_idx[..., None], axis=1)
     cand_classes = jnp.take_along_axis(class_id, cand_idx, axis=1)
     valid = cand_scores > 0.0
-    keep = _nms_lanes(cand_boxes, valid, iou_threshold, nms_impl)
+    keep = _nms_lanes(cand_boxes, valid, iou_threshold, nms_impl, border_delta)
+    if k > nms_max_output_size:
+        keep = keep & (jnp.cumsum(keep, axis=-1) <= nms_max_output_size)
     scores = jnp.where(keep, cand_scores, 0.0)
     k_eff = min(top_k, scores.shape[1])
     top_scores, top_idx = jax.lax.top_k(scores, k_eff)
@@ -272,6 +319,7 @@ def _decode_fast_batched(
     static_argnames=(
         "confidence_thresh", "iou_threshold", "top_k", "nms_max_output_size",
         "input_coords", "normalize_coords", "img_height", "img_width", "nms_impl",
+        "nms_candidates", "border_pixels",
     ),
 )
 def decode_detections_fast_fixed(
@@ -285,13 +333,18 @@ def decode_detections_fast_fixed(
     img_height: Optional[int] = None,
     img_width: Optional[int] = None,
     nms_impl: str = "auto",
+    nms_candidates: Optional[int] = None,
+    border_pixels: str = "half",
 ):
     """Fast in-graph decode (argmax class, global NMS) -> ``(batch, top_k, 6)``.
 
     Parity with ``DecodeDetectionsFast`` (keras_layer_DecodeDetectionsFast.py:29):
     highest-confidence class wins, background boxes dropped, one global NMS
-    over the top ``nms_max_output_size`` candidates.
+    capped at ``nms_max_output_size`` survivors over a static candidate pool
+    (``nms_candidates``, default ``nms_max_output_size``).
     """
+    from ssd_keras_tpu.ops.boxes import border_delta as _bd
+
     corners = decode_offsets(
         y_pred, input_coords, normalize_coords, img_height, img_width, xp=jnp
     )
@@ -304,6 +357,8 @@ def decode_detections_fast_fixed(
         top_k=top_k,
         nms_max_output_size=nms_max_output_size,
         nms_impl=nms_impl,
+        nms_candidates=nms_candidates,
+        border_delta=_bd(border_pixels),
     )
 
 

@@ -149,12 +149,14 @@ class Evaluator:
         """Run the model over the whole dataset and bucket boxes per class.
 
         With ``device_decode`` (default), 'training'-mode raw predictions are
-        decoded by the fixed-shape on-device decoder — exactly the
-        DecodeDetections-layer semantics ('half'-convention NMS IoU, nms_max
-        candidate cap), i.e. what an 'inference'-mode model would have
-        produced — and much faster on large datasets. Set False for the host
-        NumPy decoder, which honors ``decoding_border_pixels`` and has no
-        candidate cap (the reference's training-mode evaluation behavior).
+        decoded by the fixed-shape on-device decoder with the
+        DecodeDetections-layer selection semantics, honoring
+        ``decoding_border_pixels`` for the NMS IoU — much faster on large
+        datasets. Its one approximation vs the reference's host decoder is
+        the static NMS candidate pool (top ``nms_max_output_size`` per
+        class, see decoder._decode_caffe_batched for the exactness bound).
+        Set False for the host NumPy decoder (the reference's training-mode
+        evaluation behavior, no candidate cap).
         """
         pf = self.pred_format
         transformations = [ConvertTo3Channels()]
@@ -227,6 +229,7 @@ class Evaluator:
                         normalize_coords=decoding_normalize_coords,
                         img_height=img_height,
                         img_width=img_width,
+                        border_pixels=decoding_border_pixels,
                     )
                 )
                 y_pred = [item[item[:, 0] != 0] for item in decoded]

@@ -23,24 +23,30 @@ __all__ = [
 ]
 
 
-def pairwise_iou_corners(boxes: jnp.ndarray) -> jnp.ndarray:
-    """All-pairs IoU for (K, 4) boxes in corners format (xmin, ymin, xmax, ymax)."""
+def pairwise_iou_corners(boxes: jnp.ndarray, border_delta: float = 0.0) -> jnp.ndarray:
+    """All-pairs IoU for (K, 4) boxes in corners format (xmin, ymin, xmax, ymax).
+
+    ``border_delta`` implements the reference's ``border_pixels`` conventions
+    (ops/boxes.py:border_delta — 'half'=0, 'include'=+1, 'exclude'=-1).
+    """
+    d = border_delta
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     iw = jnp.maximum(
-        0.0, jnp.minimum(x2[:, None], x2[None, :]) - jnp.maximum(x1[:, None], x1[None, :])
+        0.0, jnp.minimum(x2[:, None], x2[None, :]) - jnp.maximum(x1[:, None], x1[None, :]) + d
     )
     ih = jnp.maximum(
-        0.0, jnp.minimum(y2[:, None], y2[None, :]) - jnp.maximum(y1[:, None], y1[None, :])
+        0.0, jnp.minimum(y2[:, None], y2[None, :]) - jnp.maximum(y1[:, None], y1[None, :]) + d
     )
     inter = iw * ih
-    area = (x2 - x1) * (y2 - y1)
+    area = (x2 - x1 + d) * (y2 - y1 + d)
     union = area[:, None] + area[None, :] - inter
     # Guard zero-area pairs (padded/invalid candidates).
     return jnp.where(union > 0, inter / union, 0.0)
 
 
 def greedy_nms_mask(
-    boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float
+    boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float,
+    border_delta: float = 0.0,
 ) -> jnp.ndarray:
     """Exact greedy NMS over score-descending candidates.
 
@@ -62,14 +68,15 @@ def greedy_nms_mask(
     this formulation.
     """
     k = boxes.shape[0]
+    d = border_delta
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    area = (x2 - x1) * (y2 - y1)
+    area = (x2 - x1 + d) * (y2 - y1 + d)
     later = jnp.arange(k)
 
     def step(suppressed, i):
         keep_i = valid[i] & ~suppressed[i]
-        iw = jnp.maximum(0.0, jnp.minimum(x2[i], x2) - jnp.maximum(x1[i], x1))
-        ih = jnp.maximum(0.0, jnp.minimum(y2[i], y2) - jnp.maximum(y1[i], y1))
+        iw = jnp.maximum(0.0, jnp.minimum(x2[i], x2) - jnp.maximum(x1[i], x1) + d)
+        ih = jnp.maximum(0.0, jnp.minimum(y2[i], y2) - jnp.maximum(y1[i], y1) + d)
         inter = iw * ih
         union = area[i] + area - inter
         iou = jnp.where(union > 0, inter / union, 0.0)
@@ -91,6 +98,7 @@ def greedy_nms_mask_fixpoint(
     boxes: jnp.ndarray,  # (L, K, 4) corners, score-descending per lane
     valid: jnp.ndarray,  # (L, K) bool
     iou_threshold: float,
+    border_delta: float = 0.0,
 ) -> jnp.ndarray:
     """Exact greedy NMS as a fixpoint iteration — the TPU-native formulation.
 
@@ -109,17 +117,18 @@ def greedy_nms_mask_fixpoint(
     :func:`greedy_nms_mask`.
     """
     l, k = boxes.shape[0], boxes.shape[1]
+    d = border_delta
     x1, y1, x2, y2 = (boxes[..., c] for c in range(4))
-    area = (x2 - x1) * (y2 - y1)
+    area = (x2 - x1 + d) * (y2 - y1 + d)
     iw = jnp.maximum(
         0.0,
         jnp.minimum(x2[:, :, None], x2[:, None, :])
-        - jnp.maximum(x1[:, :, None], x1[:, None, :]),
+        - jnp.maximum(x1[:, :, None], x1[:, None, :]) + d,
     )
     ih = jnp.maximum(
         0.0,
         jnp.minimum(y2[:, :, None], y2[:, None, :])
-        - jnp.maximum(y1[:, :, None], y1[:, None, :]),
+        - jnp.maximum(y1[:, :, None], y1[:, None, :]) + d,
     )
     inter = iw * ih
     union = area[:, :, None] + area[:, None, :] - inter
@@ -149,6 +158,7 @@ def greedy_nms_mask_blocked(
     valid: jnp.ndarray,  # (L, K) bool
     iou_threshold: float,
     block_size: int = 64,
+    border_delta: float = 0.0,
 ) -> jnp.ndarray:
     """Exact greedy NMS over lanes, block-decomposed for TPU throughput.
 
@@ -168,8 +178,9 @@ def greedy_nms_mask_blocked(
         boxes = jnp.pad(boxes, ((0, 0), (0, k_pad - k), (0, 0)))
         valid = jnp.pad(valid, ((0, 0), (0, k_pad - k)))
 
+    d = border_delta
     x1, y1, x2, y2 = (boxes[..., c] for c in range(4))  # (L, K)
-    area = (x2 - x1) * (y2 - y1)
+    area = (x2 - x1 + d) * (y2 - y1 + d)
 
     def pair_iou(sel):  # sel: (L, B) indices -> IoU (L, B, K)
         bx1 = jnp.take_along_axis(x1, sel, axis=1)[..., None]  # (L, B, 1)
@@ -177,8 +188,8 @@ def greedy_nms_mask_blocked(
         bx2 = jnp.take_along_axis(x2, sel, axis=1)[..., None]
         by2 = jnp.take_along_axis(y2, sel, axis=1)[..., None]
         barea = jnp.take_along_axis(area, sel, axis=1)[..., None]
-        iw = jnp.maximum(0.0, jnp.minimum(bx2, x2[:, None, :]) - jnp.maximum(bx1, x1[:, None, :]))
-        ih = jnp.maximum(0.0, jnp.minimum(by2, y2[:, None, :]) - jnp.maximum(by1, y1[:, None, :]))
+        iw = jnp.maximum(0.0, jnp.minimum(bx2, x2[:, None, :]) - jnp.maximum(bx1, x1[:, None, :]) + d)
+        ih = jnp.maximum(0.0, jnp.minimum(by2, y2[:, None, :]) - jnp.maximum(by1, y1[:, None, :]) + d)
         inter = iw * ih
         union = barea + area[:, None, :] - inter
         return jnp.where(union > 0, inter / union, 0.0)

@@ -200,6 +200,9 @@ def make_eval_step(module, loss_obj: Optional[SSDLoss] = None, l2_reg: float = 0
 
 
 class Callback:
+    def on_epoch_begin(self, epoch: int, logs: Dict[str, float], trainer) -> None:
+        pass
+
     def on_epoch_end(self, epoch: int, logs: Dict[str, float], trainer) -> None:
         pass
 
@@ -243,14 +246,19 @@ class CSVLogger(Callback):
 
 
 class LearningRateScheduler(Callback):
-    """Set the LR scale from a schedule(epoch) -> lr function."""
+    """Set the LR scale from a schedule(epoch) -> lr function.
+
+    Keras semantics: the schedule is applied at epoch *begin* with the
+    current epoch index, so ``schedule(0)`` governs the very first epoch
+    (warmup schedules depend on this).
+    """
 
     def __init__(self, schedule: Callable[[int], float], base_lr: float):
         self.schedule = schedule
         self.base_lr = base_lr
 
-    def on_epoch_end(self, epoch, logs, trainer):
-        trainer.set_lr_scale(self.schedule(epoch + 1) / self.base_lr)
+    def on_epoch_begin(self, epoch, logs, trainer):
+        trainer.set_lr_scale(self.schedule(epoch) / self.base_lr)
 
 
 class TerminateOnNaN(Callback):
@@ -339,24 +347,29 @@ class Trainer:
         self.set_lr(self.base_lr * self.lr_scale)
 
     def set_lr(self, lr: float):
-        """Mutate the injected learning-rate hyperparameter in-place."""
-        opt_state = self.state.opt_state
-        # opt_state is either InjectHyperparamsState directly or (with
-        # gradient clipping) a chain tuple containing it. NamedTuples are
-        # tuples too, so probe the state itself before its elements.
-        if hasattr(opt_state, "hyperparams"):
-            leaves = (opt_state,)
-        elif isinstance(opt_state, tuple):
-            leaves = opt_state
-        else:
-            leaves = (opt_state,)
-        for sub in leaves:
-            if hasattr(sub, "hyperparams") and "learning_rate" in sub.hyperparams:
-                sub.hyperparams["learning_rate"] = jnp.asarray(
-                    lr, dtype=jnp.asarray(sub.hyperparams["learning_rate"]).dtype
+        """Rebuild the opt_state with a new injected learning rate.
+
+        Functional (no in-place mutation of the live optimizer state, which
+        would break with donated buffers) and nesting-agnostic: finds every
+        ``InjectHyperparamsState`` node — wherever optax.chain placed it —
+        and replaces its ``learning_rate`` hyperparameter.
+        """
+
+        def rebuild(node):
+            if hasattr(node, "hyperparams") and "learning_rate" in node.hyperparams:
+                hp = dict(node.hyperparams)
+                hp["learning_rate"] = jnp.asarray(
+                    lr, dtype=jnp.asarray(hp["learning_rate"]).dtype
                 )
-                self.state = self.state.replace(opt_state=opt_state)
-                return
+                return node._replace(hyperparams=hp)
+            if isinstance(node, tuple):
+                children = [rebuild(c) for c in node]
+                if hasattr(node, "_fields"):  # NamedTuple state
+                    return type(node)(*children)
+                return tuple(children)
+            return node
+
+        self.state = self.state.replace(opt_state=rebuild(self.state.opt_state))
 
     def save_checkpoint(self, directory, step: int):
         import orbax.checkpoint as ocp
@@ -422,6 +435,8 @@ class Trainer:
         for epoch in range(initial_epoch, epochs):
             if lr_schedule is not None:
                 self.set_lr_scale(lr_schedule(epoch) / base_lr)
+            for cb in callbacks:
+                cb.on_epoch_begin(epoch, {}, self)
             epoch_losses = []
             t0 = time.time()
             for _ in range(steps_per_epoch):

@@ -51,17 +51,50 @@ def _layer_groups(f):
             yield name, datasets
 
 
+def _weight_key(ds_name: str, layer_name: str) -> str:
+    """Map a Keras h5 dataset name to a canonical weight key.
+
+    Keras dataset names come in two flavors:
+
+    * ``'{layer}/kernel:0'`` — variables created inside the layer's name
+      scope (Conv2D, BatchNorm, ...); the key is the last path component.
+    * ``'{layer}_gamma:0'`` — variables the reference's custom layers name
+      explicitly, e.g. L2Normalization's ``'conv4_3_norm_gamma:0'``
+      (/root/reference/keras_layers/keras_layer_L2Normalization.py:57 names
+      the variable ``'{layer.name}_gamma'``). The layer-name prefix must be
+      stripped, else the ported SSD300/512 checkpoints silently leave
+      conv4_3's learned scale at its init value.
+    """
+    key = ds_name.split("/")[-1].split(":")[0]
+    if key in _KERAS_TO_FLAX:
+        return key
+    if key.startswith(layer_name + "_"):
+        stripped = key[len(layer_name) + 1:]
+        if stripped in _KERAS_TO_FLAX:
+            return stripped
+    # Last resort: suffix-match a known weight name (handles scope prefixes).
+    for known in _KERAS_TO_FLAX:
+        if key.endswith("_" + known):
+            return known
+    return key
+
+
 def load_keras_h5_weights(
     h5_path: str,
     params: Dict,
     batch_stats: Optional[Dict] = None,
     by_name: bool = True,
     verbose: bool = False,
+    on_unconsumed: str = "warn",
 ):
     """Load a Keras .h5 weight file into (a copy of) a flax param pytree.
 
     Layers present in the file but absent from ``params`` are skipped (the
     reference's ``load_weights(by_name=True)`` semantics), and vice versa.
+    If a layer that IS in the model carries datasets that cannot be mapped
+    onto any of its parameters, that is almost always a porting bug (a
+    mis-mapped weight silently left at init), so it warns by default;
+    ``on_unconsumed`` in {'warn', 'raise', 'ignore'}.
     Returns ``(params, batch_stats, loaded_layer_names)``.
     """
     import h5py
@@ -69,6 +102,7 @@ def load_keras_h5_weights(
     params = {k: dict(v) for k, v in params.items()}
     batch_stats = {k: dict(v) for k, v in (batch_stats or {}).items()}
     loaded = []
+    unconsumed = []
     with h5py.File(h5_path, "r") as f:
         for name, datasets in _layer_groups(f):
             target_p = params.get(name)
@@ -76,10 +110,11 @@ def load_keras_h5_weights(
             if target_p is None and target_s is None:
                 continue
             for ds_name, value in datasets.items():
-                key = ds_name.split("/")[-1].split(":")[0]
+                key = _weight_key(ds_name, name)
                 flax_key = _KERAS_TO_FLAX.get(key, key)
                 dest = target_s if key in _BN_STATS else target_p
                 if dest is None or flax_key not in dest:
+                    unconsumed.append(f"{name}/{ds_name}")
                     continue
                 have = np.asarray(dest[flax_key])
                 if have.shape != value.shape:
@@ -91,27 +126,67 @@ def load_keras_h5_weights(
             loaded.append(name)
             if verbose:
                 print(f"loaded layer {name}: {sorted(datasets)}")
+    if unconsumed and on_unconsumed != "ignore":
+        msg = (
+            f"{h5_path}: {len(unconsumed)} dataset(s) in matched layers were "
+            f"not mapped onto any model parameter: {unconsumed}. The "
+            "corresponding model weights keep their current values."
+        )
+        if on_unconsumed == "raise":
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     return params, batch_stats, loaded
 
 
 def save_keras_h5_weights(
     h5_path: str, params: Dict, batch_stats: Optional[Dict] = None
 ):
-    """Write a flax param pytree as a Keras-layout .h5 file (layer/layer/w:0)."""
+    """Write a flax param pytree as a genuine Keras-format .h5 weight file.
+
+    Matches what Keras 2.x ``save_weights`` produces for the reference models
+    (/root/reference/README.md:215-239 describes the ported files):
+
+    * root attrs ``layer_names`` / ``backend`` / ``keras_version``,
+    * per-layer-group ``weight_names`` attr listing the variable names,
+    * Conv/BN variables under a nested ``{layer}/{weight}:0`` path,
+    * L2Normalization's gamma as a flat ``{layer}_gamma:0`` dataset (Keras
+      names that variable ``'{layer.name}_gamma'`` with no scope, see
+      keras_layer_L2Normalization.py:57).
+    """
     import h5py
 
     inv = {v: k for k, v in _KERAS_TO_FLAX.items()}
+
+    def _bytes_attr(names):
+        return np.array([n.encode("utf8") for n in names], dtype="S64")
+
     with h5py.File(h5_path, "w") as f:
-        all_layers = dict(params)
-        for name, tensors in all_layers.items():
-            g = f.create_group(name).create_group(name)
-            for key, value in tensors.items():
-                keras_key = inv.get(key, key)
-                g.create_dataset(f"{keras_key}:0", data=np.asarray(value))
-            if batch_stats and name in batch_stats:
-                for key, value in batch_stats[name].items():
+        f.attrs["backend"] = np.asarray(b"tensorflow")
+        f.attrs["keras_version"] = np.asarray(b"2.2.4")
+        layer_names = list(params)
+        f.attrs["layer_names"] = _bytes_attr(layer_names)
+        for name in layer_names:
+            tensors = dict(params[name])
+            stats = dict(batch_stats[name]) if batch_stats and name in batch_stats else {}
+            g = f.create_group(name)
+            weight_names = []
+            if set(tensors) == {"gamma"} and not stats:
+                # L2Normalization-style layer: flat '{layer}_gamma:0' dataset.
+                wname = f"{name}_gamma:0"
+                g.create_dataset(wname, data=np.asarray(tensors["gamma"]))
+                weight_names.append(wname)
+            else:
+                inner = g.create_group(name)
+                for key in list(tensors) + list(stats):
+                    value = tensors.get(key) if key in tensors else stats[key]
                     keras_key = inv.get(key, key)
-                    g.create_dataset(f"{keras_key}:0", data=np.asarray(value))
+                    inner.create_dataset(
+                        f"{keras_key}:0", data=np.asarray(value)
+                    )
+                    weight_names.append(f"{name}/{keras_key}:0")
+            g.attrs["weight_names"] = _bytes_attr(weight_names)
 
 
 # --------------------------------------------------------------------------- #

@@ -73,6 +73,67 @@ def test_lr_scheduler_callback(setup):
     assert lr == pytest.approx(1e-5)
 
 
+def test_lr_scheduler_applies_schedule0_at_epoch0(setup):
+    """Keras LearningRateScheduler sets schedule(0) at epoch BEGIN — a warmup
+    schedule must govern the first epoch, not the base LR (ADVICE r1)."""
+    cfg, model, gen = setup
+    trainer = _make_trainer(model, gen)
+    seen = []
+
+    class SpyLR(T.Callback):
+        def on_epoch_begin(self, epoch, logs, tr):
+            pass
+
+        def on_epoch_end(self, epoch, logs, tr):
+            seen.append(float(tr.state.opt_state.hyperparams["learning_rate"]))
+
+    warmup = T.LearningRateScheduler(
+        schedule=lambda e: 1e-6 if e == 0 else 1e-3, base_lr=1e-3
+    )
+    trainer.fit_generator(
+        gen(), steps_per_epoch=1, epochs=2, callbacks=[warmup, SpyLR()],
+        verbose=False,
+    )
+    assert seen[0] == pytest.approx(1e-6)  # epoch 0 trained at schedule(0)
+    assert seen[1] == pytest.approx(1e-3)
+
+
+def test_set_lr_rebuilds_nested_chain_state(setup):
+    """set_lr must find InjectHyperparamsState at any nesting depth and
+    rebuild the state functionally (no in-place mutation)."""
+    cfg, model, gen = setup
+    images, y = next(gen())
+    # Doubly-nested chain: chain(clip, chain(inject(sgd))).
+    tx = T.sgd_with_momentum(learning_rate=1e-3, clipnorm=1.0)
+    import optax
+
+    tx = optax.chain(optax.identity(), tx)
+    state = T.create_train_state(model, jax.random.PRNGKey(0), images, tx)
+    step = T.make_train_step(model, SSDLoss(), donate=False)
+    trainer = T.Trainer(model, state, step, base_lr=1e-3)
+    old_opt_state = trainer.state.opt_state
+    trainer.set_lr(5e-4)
+
+    def find_lr(node):
+        if hasattr(node, "hyperparams") and "learning_rate" in node.hyperparams:
+            return float(node.hyperparams["learning_rate"])
+        if isinstance(node, tuple):
+            for c in node:
+                got = find_lr(c)
+                if got is not None:
+                    return got
+        return None
+
+    assert find_lr(trainer.state.opt_state) == pytest.approx(5e-4)
+    # The previous state object was not mutated.
+    assert find_lr(old_opt_state) == pytest.approx(1e-3)
+    # Training still steps with the rebuilt state.
+    trainer.state, m = trainer.train_step(
+        trainer.state, jnp.asarray(images), jnp.asarray(y)
+    )
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_checkpoint_save_restore(setup, tmp_path):
     cfg, model, gen = setup
     trainer = _make_trainer(model, gen)

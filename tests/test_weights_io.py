@@ -135,13 +135,129 @@ def test_ssd300_h5_name_contract(tmp_path):
     path = str(tmp_path / "vgg_ssd300.h5")
     with h5py.File(path, "w") as f:
         for layer, tensors in params.items():
+            if set(tensors) == {"gamma"}:
+                # Real Keras files store L2Normalization's weight as a flat
+                # '{layer}_gamma:0' dataset (keras_layer_L2Normalization.py:57).
+                f.create_group(layer).create_dataset(
+                    f"{layer}_gamma:0", data=tensors["gamma"] + 1.5
+                )
+                continue
             g = f.create_group(layer).create_group(layer)
             for key, arr in tensors.items():
-                keras_key = {"kernel": "kernel:0", "bias": "bias:0",
-                             "gamma": "gamma:0"}[key]
+                keras_key = {"kernel": "kernel:0", "bias": "bias:0"}[key]
                 g.create_dataset(keras_key, data=arr + 1.5)
     loaded, _, names = W.load_keras_h5_weights(path, params)
     assert sorted(names) == sorted(params)  # every layer matched by name
     assert len(names) == 36  # 23 trunk convs + L2Norm + 12 heads
     np.testing.assert_allclose(loaded["fc6"]["kernel"], 1.5)
     np.testing.assert_allclose(loaded["conv4_3_norm"]["gamma"], 1.5)
+
+
+def _write_keras_style_file(path, layers):
+    """Write an .h5 byte-faithful to Keras 2.x save_weights output.
+
+    ``layers``: list of (layer_name, {dataset_name: array}) — dataset names
+    are full Keras variable names ('conv1_1/kernel:0' or 'norm_gamma:0').
+    Weightless layers (empty dict) still get a group + empty weight_names,
+    exactly like Keras writes them for Input/Activation/Reshape layers.
+    """
+    with h5py.File(path, "w") as f:
+        f.attrs["backend"] = np.asarray(b"tensorflow")
+        f.attrs["keras_version"] = np.asarray(b"2.2.4")
+        f.attrs["layer_names"] = np.array(
+            [n.encode("utf8") for n, _ in layers], dtype="S64"
+        )
+        for name, weights in layers:
+            g = f.create_group(name)
+            g.attrs["weight_names"] = np.array(
+                [w.encode("utf8") for w in weights], dtype="S64"
+            )
+            for wname, arr in weights.items():
+                g.create_dataset(wname, data=arr)
+
+
+def test_load_real_keras_layout_l2norm_gamma(tmp_path):
+    """The ported reference checkpoints name L2Norm's weight
+    'conv4_3_norm_gamma:0'; it must land on the flax 'gamma' param, not be
+    silently skipped (ADVICE r1, high)."""
+    gamma = np.full((8,), 3.75, np.float32)
+    kernel = np.random.randn(3, 3, 3, 8).astype(np.float32)
+    bias = np.zeros((8,), np.float32)
+    path = str(tmp_path / "keras_real.h5")
+    _write_keras_style_file(path, [
+        ("input_1", {}),
+        ("conv4_3", {"conv4_3/kernel:0": kernel, "conv4_3/bias:0": bias}),
+        ("conv4_3_norm", {"conv4_3_norm_gamma:0": gamma}),
+        ("conv4_3_norm_mbox_conf_reshape", {}),
+    ])
+    params = {
+        "conv4_3": {"kernel": np.zeros_like(kernel), "bias": np.ones_like(bias)},
+        "conv4_3_norm": {"gamma": np.full((8,), 20.0, np.float32)},
+    }
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any unconsumed-dataset warning fails
+        loaded, _, names = W.load_keras_h5_weights(path, params)
+    assert sorted(names) == ["conv4_3", "conv4_3_norm"]
+    np.testing.assert_allclose(loaded["conv4_3_norm"]["gamma"], 3.75)
+    np.testing.assert_allclose(loaded["conv4_3"]["kernel"], kernel)
+
+
+def test_load_warns_on_unconsumed_datasets(tmp_path):
+    """A matched layer with an unmappable dataset must warn (or raise),
+    never silently leave the model weight at init."""
+    path = str(tmp_path / "bad.h5")
+    _write_keras_style_file(path, [
+        ("conv1", {"conv1/kernel:0": np.zeros((1, 1, 3, 4), np.float32),
+                   "conv1/mystery_weight:0": np.zeros((4,), np.float32)}),
+    ])
+    params = {"conv1": {"kernel": np.ones((1, 1, 3, 4), np.float32)}}
+    with pytest.warns(UserWarning, match="mystery_weight"):
+        W.load_keras_h5_weights(path, params)
+    with pytest.raises(ValueError, match="mystery_weight"):
+        W.load_keras_h5_weights(path, params, on_unconsumed="raise")
+    # 'ignore' stays silent.
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        W.load_keras_h5_weights(path, params, on_unconsumed="ignore")
+
+
+def test_save_writes_keras_attrs(tmp_path, ssd7_variables):
+    """Exported files must carry the Keras topological attrs
+    (layer_names / weight_names / backend) so actual Keras can read them."""
+    params = jax.tree_util.tree_map(np.asarray, dict(ssd7_variables["params"]))
+    stats = jax.tree_util.tree_map(np.asarray, dict(ssd7_variables["batch_stats"]))
+    path = str(tmp_path / "export.h5")
+    W.save_keras_h5_weights(path, params, stats)
+    with h5py.File(path, "r") as f:
+        layer_names = [n.decode("utf8") for n in f.attrs["layer_names"]]
+        assert layer_names == list(params)
+        assert f.attrs["backend"] == b"tensorflow"
+        for name in layer_names:
+            wnames = [w.decode("utf8") for w in f[name].attrs["weight_names"]]
+            assert wnames, name
+            for w in wnames:  # every advertised weight exists as a dataset
+                assert w in f[name], (name, w)
+        # Conv layers use the nested '{layer}/{w}:0' path convention.
+        assert "conv1/kernel:0" in [
+            w.decode("utf8") for w in f["conv1"].attrs["weight_names"]
+        ]
+
+
+def test_save_l2norm_gamma_uses_keras_variable_name(tmp_path):
+    """Gamma-only layers export as flat '{layer}_gamma:0', the name real
+    Keras produces for the reference's L2Normalization — and round-trip."""
+    params = {"conv4_3_norm": {"gamma": np.full((4,), 7.0, np.float32)}}
+    path = str(tmp_path / "norm.h5")
+    W.save_keras_h5_weights(path, params)
+    with h5py.File(path, "r") as f:
+        assert "conv4_3_norm_gamma:0" in f["conv4_3_norm"]
+        assert [w.decode("utf8") for w in f["conv4_3_norm"].attrs["weight_names"]] \
+            == ["conv4_3_norm_gamma:0"]
+    target = {"conv4_3_norm": {"gamma": np.zeros((4,), np.float32)}}
+    loaded, _, names = W.load_keras_h5_weights(path, target)
+    assert names == ["conv4_3_norm"]
+    np.testing.assert_allclose(loaded["conv4_3_norm"]["gamma"], 7.0)
