@@ -2,21 +2,40 @@
 
 The reference's inference workflow is manual (resize to the model size,
 ``model.predict``, scale boxes back — ssd300_inference.ipynb cells 9-11).
-:class:`SSDPredictor` packages that as one object with a fixed compiled batch
-shape: arbitrary-sized inputs are resized on device (one fused resample per
-image after host decode), padded to the compiled batch size, run through the
-in-graph decode, and mapped back to each image's original pixel frame.
+:class:`SSDPredictor` packages that as one object: arbitrary-sized inputs are
+resized **on device** — the resample is fused into the compiled forward pass
+(one jitted program per distinct input shape, uint8 upload), so no host-side
+image loop sits in front of the model. Inputs that PIL must normalize first
+(grayscale, RGBA, palette) fall back to a host resize. Batches are
+chunked/padded to the compiled batch size and detections are mapped back to
+each image's original pixel frame.
 """
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["SSDPredictor"]
+__all__ = ["SSDPredictor", "device_resize_batch"]
+
+
+def device_resize_batch(images, out_height: int, out_width: int):
+    """Bilinear-resize a (B, H, W, 3) batch to (B, out_h, out_w, 3) float32.
+
+    ``jax.image.resize`` with ``method='linear', antialias=True`` — the same
+    triangle-filter convention PIL's ``Image.BILINEAR`` uses (Pillow applies
+    the filter with support scaled by the downscale factor), so the device
+    path is numerically interchangeable with the reference workflow's host
+    resize. Runs as part of whatever jit traces it.
+    """
+    x = images.astype(jnp.float32)
+    return jax.image.resize(
+        x, (x.shape[0], out_height, out_width, 3), method="linear",
+        antialias=True,
+    )
 
 
 class SSDPredictor:
@@ -30,10 +49,13 @@ class SSDPredictor:
       batch_size: the compiled batch size; requests are chunked/padded to it.
       confidence_thresh: post-filter on returned rows (the in-graph decode
         already applied the model's configured threshold/NMS/top-k).
+      resize_on_device: fuse the input resample into the compiled forward
+        (default). ``False`` forces the host PIL path for every non-model-size
+        input (useful to reproduce the reference's exact PIL numerics).
     """
 
     def __init__(self, module, variables, batch_size: int = 8,
-                 confidence_thresh: float = 0.0):
+                 confidence_thresh: float = 0.0, resize_on_device: bool = True):
         if module.mode == "training":
             raise ValueError(
                 "SSDPredictor needs an 'inference' or 'inference_fast' model."
@@ -43,16 +65,31 @@ class SSDPredictor:
         self.variables = variables
         self.batch_size = int(batch_size)
         self.confidence_thresh = confidence_thresh
-        h, w = self.config.img_height, self.config.img_width
+        self.resize_on_device = resize_on_device
+        self._model_hw = (self.config.img_height, self.config.img_width)
+        # One compiled resize+forward program per (in_h, in_w, dtype).
+        self._compiled: Dict[Tuple, object] = {}
 
-        def run(variables, images):
-            # images: (B, H, W, 3) float32 already at the model size.
-            return module.apply(variables, images)
-
-        self._run = jax.jit(run)
-        self._model_hw = (h, w)
+    def _fused_run(self, ih: int, iw: int, dtype):
+        """Jitted resize(ih, iw -> model size) + forward, cached per shape."""
+        key = (ih, iw, np.dtype(dtype).str)
+        fn = self._compiled.get(key)
+        if fn is None:
+            h, w = self._model_hw
+            module = self.module
+            if (ih, iw) == (h, w):
+                def f(variables, imgs):
+                    return module.apply(variables, imgs.astype(jnp.float32))
+            else:
+                def f(variables, imgs):
+                    return module.apply(variables, device_resize_batch(imgs, h, w))
+            fn = jax.jit(f)
+            self._compiled[key] = fn
+        return fn
 
     def _resize_host(self, image: np.ndarray) -> np.ndarray:
+        """PIL fallback for inputs the device path can't take directly
+        (grayscale, RGBA, palette arrays) or when resize_on_device=False."""
         from PIL import Image
 
         h, w = self._model_hw
@@ -67,27 +104,36 @@ class SSDPredictor:
         """Detections per image: rows ``[class_id, conf, xmin, ymin, xmax, ymax]``
         in each input image's own pixel coordinates, zero rows removed."""
         h, w = self._model_hw
-        resized, scales = [], []
-        for image in images:
+        scales = []
+        groups: Dict[Tuple, Tuple[List[int], List[np.ndarray]]] = {}
+        for i, image in enumerate(images):
             image = np.asarray(image)
             ih, iw = image.shape[:2]
             scales.append((iw / w, ih / h))
-            resized.append(
-                image.astype(np.float32)
-                if image.shape[:2] == (h, w) and image.ndim == 3
-                else self._resize_host(image)
+            device_ok = image.ndim == 3 and image.shape[2] == 3 and (
+                self.resize_on_device or (ih, iw) == (h, w)
             )
+            if not device_ok:
+                image = self._resize_host(image)
+                ih, iw = h, w
+            key = (ih, iw, image.dtype.str)
+            idxs, arrs = groups.setdefault(key, ([], []))
+            idxs.append(i)
+            arrs.append(image)
 
-        outputs: List[np.ndarray] = []
-        for start in range(0, len(resized), self.batch_size):
-            chunk = resized[start : start + self.batch_size]
-            n = len(chunk)
-            if n < self.batch_size:  # pad to the compiled shape
-                chunk = chunk + [np.zeros((h, w, 3), np.float32)] * (
-                    self.batch_size - n
-                )
-            dets = np.asarray(self._run(self.variables, jnp.asarray(np.stack(chunk))))
-            outputs.extend(dets[:n])
+        outputs: List[np.ndarray] = [None] * len(images)
+        for (ih, iw, _), (idxs, arrs) in groups.items():
+            run = self._fused_run(ih, iw, arrs[0].dtype)
+            for start in range(0, len(arrs), self.batch_size):
+                chunk = arrs[start : start + self.batch_size]
+                n = len(chunk)
+                if n < self.batch_size:  # pad to the compiled shape
+                    chunk = chunk + [np.zeros_like(chunk[0])] * (
+                        self.batch_size - n
+                    )
+                dets = np.asarray(run(self.variables, jnp.asarray(np.stack(chunk))))
+                for j in range(n):
+                    outputs[idxs[start + j]] = dets[j]
 
         results = []
         for dets, (sx, sy) in zip(outputs, scales):
