@@ -1,0 +1,239 @@
+"""SynthVOC benchmark: train SSD on the synthetic 20-class VOC proxy to a
+validation-mAP curve (the round-2 accuracy north star, VERDICT r1 #1).
+
+Mirrors the canonical recipes end-to-end on real hardware:
+
+* **ssd300**: the flagship config (ssd300_training.ipynb cells 4/7/14/18) —
+  SGD momentum 0.9, L2 5e-4, batch 32, bf16 compute, device augmentation
+  chain + on-device encoding, piecewise LR drops (x0.1 at 2/3 and 5/6 of the
+  run, the 80k/100k-of-120k pattern scaled to the step budget). One
+  deviation, documented: the reference starts from pretrained VGG weights
+  (which do not exist in this environment) and survives lr 1e-3 from step 0;
+  from random init that diverges, so a linear warmup to the canonical peak
+  replaces the pretrained start.
+* **ssd7**: the small-model recipe (ssd7_training.ipynb cell 7) — Adam 1e-3,
+  batch 16.
+
+Writes one JSON line per evaluation to ``docs/benchmarks/synthvoc_<model>_curve.jsonl``
+and a final summary with per-class APs and both AP modes ('sample' 11-point
+and 'integrate'). Checkpoints on every eval; ``--resume`` continues a run.
+
+Usage:
+  python examples/synthvoc_benchmark.py --model ssd300 --steps 24000
+  python examples/synthvoc_benchmark.py --model ssd7 --steps 12000
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ssd_keras_tpu import SSDConfig, SSDInputEncoder, SSDLoss
+from ssd_keras_tpu import train as T
+from ssd_keras_tpu.data.device_aug import DeviceSSDAugmentation
+from ssd_keras_tpu.data.synthvoc import SYNTHVOC_CLASS_NAMES, SynthVOC
+from ssd_keras_tpu.encoder import pad_labels
+from ssd_keras_tpu.eval.evaluator import Evaluator
+from ssd_keras_tpu.models import ssd_7, ssd_300
+
+
+def upload_in_chunks(array, chunk=256):
+    """Host->device upload in chunks (the tunnel dislikes GB-sized puts)."""
+    parts = [jnp.asarray(array[i : i + chunk]) for i in range(0, len(array), chunk)]
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+def build_model(name: str, n_classes: int):
+    if name == "ssd300":
+        cfg = SSDConfig.ssd300(n_classes=n_classes)
+        model, sizes = ssd_300(cfg, compute_dtype=jnp.bfloat16)
+    elif name == "ssd7":
+        cfg = SSDConfig.ssd7(n_classes=n_classes, img_height=300, img_width=300)
+        model, sizes = ssd_7(cfg, compute_dtype=jnp.bfloat16)
+    else:
+        raise ValueError(name)
+    return cfg, model, sizes
+
+
+def build_optimizer(name: str, steps: int, peak_lr: float, warmup: int,
+                    clipnorm: float):
+    if name == "ssd7":
+        # Canonical SSD7 recipe: Adam 1e-3 (ssd7_training.ipynb cell 7).
+        return optax.chain(
+            optax.clip_by_global_norm(clipnorm), optax.adam(peak_lr)
+        ), lambda step: peak_lr
+    # Canonical SSD300 recipe with warmup replacing the pretrained-VGG start;
+    # x0.1 drops at 2/3 and 5/6 of the run (the 80k/100k-of-120k pattern).
+    drops = {int(steps * 2 / 3): 0.1, int(steps * 5 / 6): 0.1}
+    sched = optax.join_schedules(
+        [
+            optax.linear_schedule(peak_lr * 0.01, peak_lr, warmup),
+            optax.piecewise_constant_schedule(peak_lr, drops),
+        ],
+        boundaries=[warmup],
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(clipnorm),
+        optax.sgd(learning_rate=sched, momentum=0.9),
+    )
+    return tx, sched
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", choices=["ssd300", "ssd7"], default="ssd300")
+    p.add_argument("--steps", type=int, default=24000)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--train-images", type=int, default=4000)
+    p.add_argument("--val-images", type=int, default=800)
+    p.add_argument("--eval-every", type=int, default=2000)
+    p.add_argument("--peak-lr", type=float, default=None)
+    p.add_argument("--warmup", type=int, default=1000)
+    p.add_argument("--clipnorm", type=float, default=5.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "..", "docs", "benchmarks"))
+    p.add_argument("--ckpt", default="/tmp/synthvoc_ckpt")
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args()
+    if args.peak_lr is None:
+        args.peak_lr = 1e-3
+    if args.model == "ssd7":
+        args.batch = min(args.batch, 16)
+
+    os.makedirs(args.out, exist_ok=True)
+    curve_path = os.path.join(args.out, f"synthvoc_{args.model}_curve.jsonl")
+    summary_path = os.path.join(args.out, f"synthvoc_{args.model}_summary.md")
+
+    n_classes = 20
+    cfg, model, sizes = build_model(args.model, n_classes)
+    encoder = SSDInputEncoder(cfg, sizes, max_gt_boxes=16)
+    aug = DeviceSSDAugmentation(cfg.img_height, cfg.img_width)
+
+    print(f"Rendering SynthVOC: {args.train_images} train / "
+          f"{args.val_images} val ...", flush=True)
+    t0 = time.time()
+    train_ds = SynthVOC(args.train_images, cfg.img_height, split="train",
+                        seed=args.seed)
+    val_ds = SynthVOC(args.val_images, cfg.img_height, split="val",
+                      seed=args.seed)
+    train_images, train_labels = train_ds.materialize()
+    val_images, val_labels = val_ds.materialize()
+    print(f"  rendered in {time.time() - t0:.0f}s", flush=True)
+
+    padded, counts = pad_labels(train_labels, encoder.max_gt_boxes,
+                                truncate=True)
+    t0 = time.time()
+    images_d = upload_in_chunks(train_images)
+    padded_d = jnp.asarray(padded)
+    counts_d = jnp.asarray(counts)
+    jax.device_get(counts_d.sum())  # force the uploads through the tunnel
+    print(f"  train set resident on device in {time.time() - t0:.0f}s "
+          f"({train_images.nbytes / 1e6:.0f} MB)", flush=True)
+
+    tx, sched = build_optimizer(args.model, args.steps, args.peak_lr,
+                                args.warmup, args.clipnorm)
+    state = T.create_train_state(
+        model, jax.random.PRNGKey(args.seed),
+        train_images[: args.batch].astype(np.float32), tx,
+    )
+    train_step = T.make_train_step(model, SSDLoss(), l2_reg=5e-4)
+    trainer = T.Trainer(model, state, train_step)  # checkpoint helper
+
+    start_step = 0
+    if args.resume and os.path.isdir(args.ckpt):
+        ckpts = sorted(
+            (d for d in os.listdir(args.ckpt) if d.startswith("ckpt_")),
+            key=lambda d: int(d.split("_")[1]),
+        )
+        if ckpts:
+            trainer.restore_checkpoint(os.path.join(args.ckpt, ckpts[-1]))
+            start_step = int(ckpts[-1].split("_")[1])
+            print(f"Resumed from step {start_step}", flush=True)
+
+    has_bn = bool(trainer.state.batch_stats)
+
+    def fwd(batch_x):
+        variables = {"params": trainer.state.params}
+        if has_bn:
+            variables["batch_stats"] = trainer.state.batch_stats
+            return model.apply(variables, jnp.asarray(batch_x), train=False)
+        return model.apply(variables, jnp.asarray(batch_x))
+
+    val_gen = val_ds.as_data_generator(val_images, val_labels)
+
+    def evaluate(step, mode="sample"):
+        ev = Evaluator(fwd, n_classes, val_gen, model_mode="training")
+        mean_ap, aps = ev(
+            img_height=cfg.img_height, img_width=cfg.img_width,
+            batch_size=args.batch, average_precision_mode=mode,
+            return_average_precisions=True, verbose=False,
+        )
+        return float(mean_ap), [float(a) for a in aps], ev
+
+    key = jax.random.PRNGKey(args.seed + 1)
+    losses = []
+    t_train = time.time()
+    for step in range(start_step, args.steps):
+        key, k1, k2 = jax.random.split(key, 3)
+        idx = jax.random.choice(k1, args.train_images, (args.batch,),
+                                replace=True)
+        imgs, lbls, nn = aug(k2, images_d[idx], padded_d[idx], counts_d[idx])
+        y_true = encoder.encode_padded(lbls, nn)
+        trainer.state, metrics = train_step(trainer.state, imgs, y_true)
+        if step % 200 == 0:
+            loss = float(metrics["loss"])
+            losses.append(loss)
+            if not np.isfinite(loss):
+                print(f"step {step}: NaN loss — aborting", flush=True)
+                sys.exit(2)
+            rate = 200 * args.batch / max(1e-9, time.time() - t_train)
+            t_train = time.time()
+            print(f"step {step:6d}  loss {loss:8.3f}  lr {sched(step):.2e}  "
+                  f"{rate:.0f} img/s", flush=True)
+        if (step + 1) % args.eval_every == 0 or step + 1 == args.steps:
+            t_eval = time.time()
+            mean_ap, aps, _ = evaluate(step + 1)
+            record = {
+                "model": args.model, "step": step + 1,
+                "val_mAP_sample": round(mean_ap, 4),
+                "loss": round(float(metrics["loss"]), 3),
+                "lr": float(sched(step)),
+                "eval_seconds": round(time.time() - t_eval, 1),
+            }
+            with open(curve_path, "a") as f:
+                f.write(json.dumps(record) + "\n")
+            print("EVAL " + json.dumps(record), flush=True)
+            trainer.save_checkpoint(args.ckpt, step=step + 1)
+
+    # Final: both AP modes + per-class table.
+    map_sample, aps_sample, _ = evaluate(args.steps, mode="sample")
+    map_integrate, aps_integrate, _ = evaluate(args.steps, mode="integrate")
+    with open(summary_path, "w") as f:
+        f.write(f"# SynthVOC {args.model} benchmark\n\n")
+        f.write(f"- steps: {args.steps}, batch {args.batch}, "
+                f"peak lr {args.peak_lr} (warmup {args.warmup}), "
+                f"L2 5e-4, bf16 compute, device augmentation chain\n")
+        f.write(f"- train/val: {args.train_images}/{args.val_images} images, "
+                f"seed {args.seed} (deterministic, see data/synthvoc.py)\n\n")
+        f.write(f"## Results\n\n")
+        f.write(f"- **val mAP (sample, 11-point): {map_sample:.4f}**\n")
+        f.write(f"- val mAP (integrate): {map_integrate:.4f}\n\n")
+        f.write("| class | AP (sample) | AP (integrate) |\n|---|---|---|\n")
+        for i in range(1, n_classes + 1):
+            f.write(f"| {SYNTHVOC_CLASS_NAMES[i]} | {aps_sample[i]:.4f} | "
+                    f"{aps_integrate[i]:.4f} |\n")
+    print(f"FINAL val mAP sample={map_sample:.4f} integrate={map_integrate:.4f}")
+    print(f"Curve: {curve_path}\nSummary: {summary_path}")
+
+
+if __name__ == "__main__":
+    main()
