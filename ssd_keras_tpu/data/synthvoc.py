@@ -231,6 +231,121 @@ class SynthVOC:
             labels.append(lab)
         return images, labels
 
+    def export_voc(self, root: str, images: Optional[np.ndarray] = None,
+                   labels: Optional[list] = None, image_set: str = None):
+        """Write the split to disk in Pascal-VOC layout.
+
+        Produces ``JPEGImages/*.jpg``, ``Annotations/*.xml`` and
+        ``ImageSets/Main/<split>.txt`` exactly as the reference's
+        ``parse_xml`` expects (object_detection_2d_data_generator.py:404),
+        so the real XML-parser + host-pipeline workflows can be exercised
+        end-to-end without Pascal VOC itself. Returns
+        ``(images_dir, annotations_dir, image_set_path)``.
+        """
+        import os
+        from xml.sax.saxutils import escape
+
+        from PIL import Image
+
+        if images is None or labels is None:
+            images, labels = self.materialize()
+        image_set = image_set or self.split
+        img_dir = os.path.join(root, "JPEGImages")
+        ann_dir = os.path.join(root, "Annotations")
+        set_dir = os.path.join(root, "ImageSets", "Main")
+        for d in (img_dir, ann_dir, set_dir):
+            os.makedirs(d, exist_ok=True)
+        ids = []
+        for i in range(len(images)):
+            image_id = f"{self.split}_{i:06d}"
+            ids.append(image_id)
+            Image.fromarray(images[i]).save(
+                os.path.join(img_dir, image_id + ".jpg"), quality=95
+            )
+            objs = []
+            for cls, x0, y0, x1, y1 in np.asarray(labels[i]):
+                name = escape(SYNTHVOC_CLASS_NAMES[int(cls)])
+                # VOC convention: 1-based inclusive pixel coordinates.
+                objs.append(
+                    "  <object>\n"
+                    f"    <name>{name}</name>\n"
+                    "    <pose>Unspecified</pose>\n"
+                    "    <truncated>0</truncated>\n"
+                    "    <difficult>0</difficult>\n"
+                    "    <bndbox>\n"
+                    f"      <xmin>{int(x0) + 1}</xmin>\n"
+                    f"      <ymin>{int(y0) + 1}</ymin>\n"
+                    f"      <xmax>{int(x1)}</xmax>\n"
+                    f"      <ymax>{int(y1)}</ymax>\n"
+                    "    </bndbox>\n"
+                    "  </object>\n"
+                )
+            s = self.image_size
+            xml = (
+                "<annotation>\n"
+                "  <folder>SynthVOC</folder>\n"
+                f"  <filename>{image_id}.jpg</filename>\n"
+                f"  <size>\n    <width>{s}</width>\n    <height>{s}</height>\n"
+                "    <depth>3</depth>\n  </size>\n"
+                "  <segmented>0</segmented>\n" + "".join(objs) + "</annotation>\n"
+            )
+            with open(os.path.join(ann_dir, image_id + ".xml"), "w") as f:
+                f.write(xml)
+        set_path = os.path.join(set_dir, image_set + ".txt")
+        with open(set_path, "w") as f:
+            f.write("\n".join(ids) + "\n")
+        return img_dir, ann_dir, set_path
+
+    def export_coco(self, root: str, images: Optional[np.ndarray] = None,
+                    labels: Optional[list] = None):
+        """Write the split as an MS-COCO annotation JSON + image files.
+
+        Layout matches what the reference's ``parse_json`` consumes
+        (object_detection_2d_data_generator.py:542): an ``images`` dir and an
+        ``annotations.json`` with images/annotations/categories. Category ids
+        are deliberately non-consecutive (10x the class id) to exercise the
+        remap path. Returns ``(images_dir, annotations_json_path)``.
+        """
+        import json
+        import os
+
+        from PIL import Image
+
+        if images is None or labels is None:
+            images, labels = self.materialize()
+        img_dir = os.path.join(root, "images")
+        os.makedirs(img_dir, exist_ok=True)
+        coco = {
+            "images": [], "annotations": [],
+            "categories": [
+                {"id": cid * 10, "name": SYNTHVOC_CLASS_NAMES[cid]}
+                for cid in range(1, self.n_classes + 1)
+            ],
+        }
+        ann_id = 1
+        for i in range(len(images)):
+            fname = f"{self.split}_{i:06d}.jpg"
+            Image.fromarray(images[i]).save(os.path.join(img_dir, fname),
+                                            quality=95)
+            coco["images"].append({
+                "id": i + 1, "file_name": fname,
+                "width": self.image_size, "height": self.image_size,
+            })
+            for cls, x0, y0, x1, y1 in np.asarray(labels[i]):
+                coco["annotations"].append({
+                    "id": ann_id, "image_id": i + 1,
+                    "category_id": int(cls) * 10,
+                    "bbox": [float(x0), float(y0),
+                             float(x1 - x0), float(y1 - y0)],
+                    "area": float((x1 - x0) * (y1 - y0)),
+                    "iscrowd": 0,
+                })
+                ann_id += 1
+        ann_path = os.path.join(root, "annotations.json")
+        with open(ann_path, "w") as f:
+            json.dump(coco, f)
+        return img_dir, ann_path
+
     def as_data_generator(self, images: Optional[np.ndarray] = None,
                           labels: Optional[list] = None):
         """An in-memory :class:`DataGenerator` over this split (for the

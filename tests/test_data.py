@@ -384,3 +384,57 @@ def test_satellite_chain():
     for seed in range(4):
         img, labels = chain(_img(seed=seed), LABELS.copy())
         assert img.shape == (64, 64, 3)
+
+
+def test_synthvoc_voc_export_roundtrip(tmp_path):
+    """SynthVOC's VOC-layout export must round-trip through the real XML
+    parser: same boxes, same class ids (workflow parity, SURVEY §2.26)."""
+    from ssd_keras_tpu.data.synthvoc import SYNTHVOC_CLASS_NAMES, SynthVOC
+
+    ds = SynthVOC(6, image_size=128, split="val", seed=3)
+    images, labels = ds.materialize()
+    img_dir, ann_dir, set_path = ds.export_voc(str(tmp_path), images, labels)
+
+    gen = DataGenerator(load_images_into_memory=False)
+    gen.parse_xml(
+        images_dirs=[img_dir],
+        image_set_filenames=[set_path],
+        annotations_dirs=[ann_dir],
+        classes=SYNTHVOC_CLASS_NAMES,
+        verbose=False,
+    )
+    assert gen.get_dataset_size() == 6
+    for i in range(6):
+        got = np.asarray(sorted(gen.labels[i].tolist()))
+        # export_voc writes 1-based inclusive coords; the parser keeps them.
+        want = np.asarray(sorted(
+            [[c, x0 + 1, y0 + 1, x1, y1]
+             for c, x0, y0, x1, y1 in labels[i].astype(int).tolist()]
+        ))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_synthvoc_coco_export_roundtrip(tmp_path):
+    """The COCO-JSON export must round-trip through parse_json, including
+    the non-consecutive category-id remap."""
+    from ssd_keras_tpu.data.synthvoc import SynthVOC
+
+    ds = SynthVOC(5, image_size=128, split="val", seed=4)
+    images, labels = ds.materialize()
+    img_dir, ann_path = ds.export_coco(str(tmp_path), images, labels)
+
+    gen = DataGenerator(load_images_into_memory=False)
+    gen.parse_json(
+        images_dirs=[img_dir],
+        annotations_filenames=[ann_path],
+        ground_truth_available=True,
+        verbose=False,
+    )
+    assert gen.get_dataset_size() == 5
+    # Non-consecutive ids (10x) remapped back to consecutive 1..20.
+    assert gen.cats_to_classes[10] == 1 and gen.cats_to_classes[200] == 20
+    for i in range(5):
+        got = np.asarray(sorted(gen.labels[i].tolist()))
+        want = np.asarray(sorted(labels[i].astype(int).tolist()))
+        np.testing.assert_array_equal(got[:, 0], want[:, 0])
+        np.testing.assert_allclose(got[:, 1:], want[:, 1:], atol=1)
