@@ -141,11 +141,32 @@ def _nms_lanes(lane_boxes, lane_valid, iou_threshold, nms_impl, border_delta=0.0
     )(lane_boxes, lane_valid)
 
 
+def _topk_lanes(scores, k: int, topk_impl: str):
+    """Top-k (score-descending) per lane over the last axis.
+
+    'exact': ``lax.top_k`` — a full sort of the N candidates per lane, the
+    dominant decode cost at SSD300 scale (~2.8 ms of a ~3.1 ms batch-8
+    decode, N=8732, 160 lanes). 'approx': ``lax.approx_max_k`` (the TPU
+    PartialReduce op, recall_target 0.97) followed by an exact sort of the k
+    results to restore the score-descending order greedy NMS requires —
+    several times faster. The ~3% of candidates it may miss are, by the
+    top-P truncation argument (see ``_decode_caffe_batched``), never able to
+    change which higher-scored boxes survive NMS; they can only be absent
+    themselves, and only matter if they would have made the global top-k.
+    """
+    if topk_impl == "exact":
+        return jax.lax.top_k(scores, k)
+    vals, idx = jax.lax.approx_max_k(scores, k, recall_target=0.97)
+    # approx_max_k returns unsorted buckets: restore descending order.
+    order_vals, order_idx = jax.lax.sort_key_val(-vals, idx)
+    return -order_vals, order_idx
+
+
 def _decode_caffe_batched(
     confs,  # (B, N, C) softmax confidences
     corners,  # (B, N, 4)
     *, confidence_thresh, iou_threshold, top_k, nms_max_output_size, nms_impl,
-    nms_candidates=None, border_delta=0.0,
+    nms_candidates=None, border_delta=0.0, topk_impl="exact",
 ):
     """Caffe-faithful decode for a whole batch: per-class threshold + NMS,
     then a global per-image top-k. All (batch, class) pairs are flattened into
@@ -172,7 +193,7 @@ def _decode_caffe_batched(
     scores = jnp.swapaxes(confs[:, :, 1:], 1, 2)  # (B, C-1, N); class 0 skipped
     eligible = scores > confidence_thresh
     masked = jnp.where(eligible, scores, -1.0)
-    cand_scores, cand_idx = jax.lax.top_k(masked, k)  # (B, C-1, K)
+    cand_scores, cand_idx = _topk_lanes(masked, k, topk_impl)  # (B, C-1, K)
     cand_boxes = jnp.take_along_axis(
         corners[:, None, :, :], cand_idx[..., None], axis=2
     )  # (B, C-1, K, 4)
@@ -221,7 +242,7 @@ def _decode_caffe_batched(
     static_argnames=(
         "confidence_thresh", "iou_threshold", "top_k", "nms_max_output_size",
         "input_coords", "normalize_coords", "img_height", "img_width", "nms_impl",
-        "nms_candidates", "border_pixels",
+        "nms_candidates", "border_pixels", "topk_impl",
     ),
 )
 def decode_detections_fixed(
@@ -237,6 +258,7 @@ def decode_detections_fixed(
     nms_impl: str = "auto",
     nms_candidates: Optional[int] = None,
     border_pixels: str = "half",
+    topk_impl: str = "exact",
 ):
     """Caffe-faithful in-graph decode -> ``(batch, top_k, 6)``.
 
@@ -270,6 +292,7 @@ def decode_detections_fixed(
         nms_impl=nms_impl,
         nms_candidates=nms_candidates,
         border_delta=_bd(border_pixels),
+        topk_impl=topk_impl,
     )
 
 

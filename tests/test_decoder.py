@@ -235,6 +235,22 @@ def test_fixed_decode_border_pixels_matches_host(y_pred, border):
         )
 
 
+def test_fixed_decode_approx_topk(y_pred):
+    """topk_impl='approx' (lax.approx_max_k + exact re-sort) keeps the decode
+    semantics; on CPU the approx op is exact, so outputs must match, and the
+    re-sort guarantees score-descending candidate order either way."""
+    kwargs = dict(
+        confidence_thresh=0.3, iou_threshold=0.45, top_k=20,
+        input_coords="centroids", normalize_coords=True,
+        img_height=64, img_width=64,
+    )
+    exact = np.array(D.decode_detections_fixed(y_pred, topk_impl="exact",
+                                               **kwargs))
+    approx = np.array(D.decode_detections_fixed(y_pred, topk_impl="approx",
+                                                **kwargs))
+    np.testing.assert_allclose(approx, exact, rtol=1e-5, atol=1e-5)
+
+
 def test_greedy_nms_suppresses_overlaps():
     rows = np.array([
         [0.9, 0, 0, 10, 10],
