@@ -462,6 +462,36 @@ class DataGenerator:
             return self.hdf5_dataset["images"][index].reshape(shape)
         return self._read_image(self.filenames[index])
 
+    def _get_images_batch(self, indices) -> list:
+        """Fetch a batch of images, decoding JPEG files in parallel.
+
+        When reading lazily from disk, the whole batch's JPEGs are decoded
+        by the native threaded decoder (native/ssd_jpeg.cpp) in one call —
+        image decode is the only hot host stage left once augmentation and
+        encoding run on device. Non-JPEG files, in-memory datasets, and
+        HDF5-cached datasets use the per-image path unchanged.
+        """
+        indices = [int(i) for i in indices]
+        if self.images is None and self.hdf5_dataset is None and self.filenames:
+            jpeg_idx = [
+                i for i in indices
+                if str(self.filenames[i]).lower().endswith((".jpg", ".jpeg"))
+            ]
+            if len(jpeg_idx) == len(indices):
+                from ssd_keras_tpu import native
+
+                try:
+                    buffers = []
+                    for i in indices:
+                        with open(self.filenames[i], "rb") as f:
+                            buffers.append(f.read())
+                    decoded = native.decode_jpeg_batch(buffers)
+                except (OSError, ValueError):
+                    decoded = None  # fall back to PIL below
+                if decoded is not None:
+                    return decoded
+        return [self._get_image(i) for i in indices]
+
     def generate(
         self,
         batch_size=32,
@@ -541,9 +571,10 @@ class DataGenerator:
             batch_original_images, batch_original_labels = [], []
             batch_inverse_transforms = []
 
-            for idx in batch_indices:
+            batch_images = self._get_images_batch(batch_indices)
+            for k, idx in enumerate(batch_indices):
                 idx = int(idx)
-                image = self._get_image(idx)
+                image = batch_images[k]
                 labels = (
                     deepcopy(self.labels[idx]) if self.labels is not None else None
                 )

@@ -16,7 +16,10 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["available", "greedy_nms_indices", "match_predictions_class", "iou_matrix"]
+__all__ = [
+    "available", "greedy_nms_indices", "match_predictions_class", "iou_matrix",
+    "jpeg_available", "decode_jpeg_batch",
+]
 
 _SRC = os.path.join(os.path.dirname(__file__), "ssd_host_ops.cpp")
 _LIB: Optional[ctypes.CDLL] = None
@@ -138,6 +141,114 @@ def match_predictions_class(
         fp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return tp, fp
+
+
+# --------------------------------------------------------------------------- #
+# Threaded JPEG batch decode (ssd_jpeg.cpp; its own .so so the core kernels
+# never depend on libjpeg being present)
+# --------------------------------------------------------------------------- #
+
+_JPEG_SRC = os.path.join(os.path.dirname(__file__), "ssd_jpeg.cpp")
+_JPEG_LIB: Optional[ctypes.CDLL] = None
+_JPEG_TRIED = False
+
+
+def _load_jpeg() -> Optional[ctypes.CDLL]:
+    global _JPEG_LIB, _JPEG_TRIED
+    if _JPEG_LIB is not None or _JPEG_TRIED:
+        return _JPEG_LIB
+    _JPEG_TRIED = True
+    if os.environ.get("SSD_KERAS_TPU_NO_NATIVE"):
+        return None
+    candidates = [
+        os.path.join(os.path.dirname(_JPEG_SRC), "ssd_jpeg.so"),
+        os.path.join(tempfile.gettempdir(), "ssd_jpeg.so"),
+    ]
+    for path in candidates:
+        if not os.path.exists(path) or os.path.getmtime(path) < os.path.getmtime(_JPEG_SRC):
+            cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", path, _JPEG_SRC,
+                   "-ljpeg", "-lpthread"]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            except (OSError, subprocess.SubprocessError):
+                continue
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            continue
+        lib.ssd_jpeg_dims.restype = ctypes.c_int
+        lib.ssd_jpeg_dims.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.ssd_decode_jpeg_batch.restype = ctypes.c_int
+        lib.ssd_decode_jpeg_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ]
+        _JPEG_LIB = lib
+        return lib
+    return None
+
+
+def jpeg_available() -> bool:
+    return _load_jpeg() is not None
+
+
+def decode_jpeg_batch(buffers, n_threads: int = 0):
+    """Decode a list of JPEG byte strings to RGB uint8 arrays in parallel.
+
+    Returns a list of (H, W, 3) arrays, or None if the native library is
+    unavailable (callers fall back to PIL). Individual corrupt images raise
+    ValueError. ``n_threads`` 0 = one thread per available CPU (capped at
+    the batch size).
+    """
+    lib = _load_jpeg()
+    if lib is None:
+        return None
+    n = len(buffers)
+    if n == 0:
+        return []
+    if n_threads <= 0:
+        n_threads = min(n, os.cpu_count() or 4)
+
+    bufs = [np.frombuffer(b, dtype=np.uint8) for b in buffers]
+    dims = []
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    c = ctypes.c_int()
+    for i, b in enumerate(bufs):
+        rc = lib.ssd_jpeg_dims(
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), b.size,
+            ctypes.byref(w), ctypes.byref(h), ctypes.byref(c),
+        )
+        if rc != 0:
+            raise ValueError(f"Invalid JPEG header in image {i}.")
+        dims.append((h.value, w.value))
+
+    outs = [np.empty((hh, ww, 3), np.uint8) for hh, ww in dims]
+    data_ptrs = (ctypes.c_void_p * n)(
+        *[b.ctypes.data_as(ctypes.c_void_p).value for b in bufs]
+    )
+    out_ptrs = (ctypes.c_void_p * n)(
+        *[o.ctypes.data_as(ctypes.c_void_p).value for o in outs]
+    )
+    lens = (ctypes.c_int * n)(*[b.size for b in bufs])
+    heights = (ctypes.c_int * n)(*[d[0] for d in dims])
+    widths = (ctypes.c_int * n)(*[d[1] for d in dims])
+    status = (ctypes.c_int * n)()
+    failures = lib.ssd_decode_jpeg_batch(
+        ctypes.cast(data_ptrs, ctypes.POINTER(ctypes.c_void_p)), lens, n,
+        ctypes.cast(out_ptrs, ctypes.POINTER(ctypes.c_void_p)),
+        heights, widths, n_threads, status,
+    )
+    if failures:
+        bad = [i for i in range(n) if status[i] != 0]
+        raise ValueError(f"JPEG decode failed for images {bad}.")
+    return outs
 
 
 def iou_matrix(

@@ -105,3 +105,79 @@ def test_match_predictions_matches_python(tmp_path):
     for c in range(1, n_classes + 1):
         np.testing.assert_array_equal(tp_n[c], tp_p[c])
         np.testing.assert_array_equal(fp_n[c], fp_p[c])
+
+
+def test_native_jpeg_batch_decode_matches_pil(tmp_path):
+    """The threaded native JPEG decoder must reproduce PIL's pixels (both
+    are libjpeg underneath) across mixed sizes, in parallel."""
+    import numpy as np
+    from PIL import Image
+
+    from ssd_keras_tpu import native
+
+    if not native.jpeg_available():
+        import pytest
+
+        pytest.skip("native jpeg decoder unavailable")
+
+    rng = np.random.RandomState(0)
+    paths, want = [], []
+    for i, (h, w) in enumerate([(64, 80), (128, 96), (48, 48), (200, 150)]):
+        img = rng.randint(0, 255, (h, w, 3), np.uint8)
+        path = str(tmp_path / f"im{i}.jpg")
+        Image.fromarray(img).save(path, quality=92)
+        paths.append(path)
+        want.append(np.asarray(Image.open(path).convert("RGB")))
+
+    buffers = [open(p, "rb").read() for p in paths]
+    got = native.decode_jpeg_batch(buffers, n_threads=4)
+    assert got is not None and len(got) == 4
+    for g, w_ in zip(got, want):
+        assert g.shape == w_.shape
+        np.testing.assert_array_equal(g, w_)
+
+
+def test_native_jpeg_rejects_corrupt(tmp_path):
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from ssd_keras_tpu import native
+
+    if not native.jpeg_available():
+        pytest.skip("native jpeg decoder unavailable")
+    img = np.zeros((32, 32, 3), np.uint8)
+    path = str(tmp_path / "ok.jpg")
+    Image.fromarray(img).save(path)
+    good = open(path, "rb").read()
+    with pytest.raises(ValueError):
+        native.decode_jpeg_batch([good, b"not a jpeg"])
+
+
+def test_generator_batch_uses_native_jpeg(tmp_path):
+    """A lazy-file DataGenerator over JPEGs yields pixels identical to the
+    per-image PIL path (the batch decode is a drop-in)."""
+    import numpy as np
+    from PIL import Image
+
+    from ssd_keras_tpu.data.datasets import DataGenerator
+
+    rng = np.random.RandomState(1)
+    files, labels = [], []
+    for i in range(5):
+        img = rng.randint(0, 255, (40, 50, 3), np.uint8)
+        path = str(tmp_path / f"g{i}.jpg")
+        Image.fromarray(img).save(path, quality=95)
+        files.append(path)
+        labels.append(np.array([[1, 2, 3, 20, 30]], np.float32))
+
+    lazy = DataGenerator(filenames=files, labels=labels, verbose=False)
+    eager = DataGenerator(filenames=files, labels=labels,
+                          load_images_into_memory=True, verbose=False)
+    gl = lazy.generate(batch_size=5, shuffle=False,
+                       returns=["processed_images", "processed_labels"])
+    ge = eager.generate(batch_size=5, shuffle=False,
+                        returns=["processed_images", "processed_labels"])
+    bl, be = next(gl), next(ge)
+    for a, b in zip(bl[0], be[0]):
+        np.testing.assert_array_equal(a, b)
