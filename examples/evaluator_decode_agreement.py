@@ -53,15 +53,8 @@ def main():
         sys.exit(f"no checkpoints in {args.ckpt}")
     import orbax.checkpoint as ocp
 
-    x0 = jnp.zeros((1, 300, 300, 3), jnp.float32)
-    target = jax.eval_shape(model.init, jax.random.PRNGKey(0), x0)["params"]
-    target = jax.tree_util.tree_map(
-        lambda s: np.zeros(s.shape, s.dtype), target
-    )
     restored = ocp.StandardCheckpointer().restore(
-        os.path.join(os.path.abspath(args.ckpt), ckpts[-1]),
-        target={"params": target, "batch_stats": {}, "opt_state": None,
-                "step": 0},
+        os.path.join(os.path.abspath(args.ckpt), ckpts[-1])
     )
     params = restored["params"]
     print(f"restored {ckpts[-1]}")
@@ -73,6 +66,19 @@ def main():
                   max_overlap=0.5)
     images, labels = ds.materialize(verbose=True)
     gen = ds.as_data_generator(images, labels)
+
+    # Warm both compiled paths (forward + fixed decode) so the timed passes
+    # measure steady-state throughput, not jit compilation.
+    from ssd_keras_tpu.decoder import decode_detections_fixed
+
+    warm = jnp.asarray(images[: args.batch].astype(np.float32))
+    y_warm = fwd(warm)
+    # Must match the evaluator's decode args exactly (border 'include' is
+    # its default) or the timed pass pays the jit compile.
+    jax.device_get(
+        decode_detections_fixed(y_warm, img_height=300, img_width=300,
+                                border_pixels="include")
+    )
 
     results = {}
     for device_decode in (True, False):
