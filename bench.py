@@ -16,7 +16,7 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 
-BASELINE_FPS_BATCH8 = 49.0  # reference SSD300 @ batch 8 on GTX 1070
+BASELINE_FPS = {8: 49.0, 1: 39.0}  # reference SSD300 on GTX 1070 (README.md:89-118)
 
 
 def main():
@@ -69,13 +69,14 @@ def main():
     elapsed = min(timed(n_iters) for _ in range(3))
 
     fps = batch * n_iters / elapsed
+    baseline = BASELINE_FPS.get(batch, BASELINE_FPS[8])
     print(
         json.dumps(
             {
                 "metric": f"ssd300_inference_fps_batch{batch}",
                 "value": round(fps, 2),
                 "unit": "images/s",
-                "vs_baseline": round(fps / BASELINE_FPS_BATCH8, 2),
+                "vs_baseline": round(fps / baseline, 2),
             }
         )
     )

@@ -144,17 +144,31 @@ def _nms_lanes(lane_boxes, lane_valid, iou_threshold, nms_impl, border_delta=0.0
 def _topk_lanes(scores, k: int, topk_impl: str):
     """Top-k (score-descending) per lane over the last axis.
 
-    'exact': ``lax.top_k`` — a full sort of the N candidates per lane, the
-    dominant decode cost at SSD300 scale (~2.8 ms of a ~3.1 ms batch-8
-    decode, N=8732, 160 lanes). 'approx': ``lax.approx_max_k`` (the TPU
-    PartialReduce op, recall_target 0.97) followed by an exact sort of the k
-    results to restore the score-descending order greedy NMS requires —
-    several times faster. The ~3% of candidates it may miss are, by the
-    top-P truncation argument (see ``_decode_caffe_batched``), never able to
-    change which higher-scored boxes survive NMS; they can only be absent
-    themselves, and only matter if they would have made the global top-k.
+    * 'auto' (default) -> 'exact_fast'.
+    * 'exact_fast': ``lax.approx_max_k(recall_target=1.0)`` — despite the
+      name this is EXACT: with recall_target 1.0 the TPU PartialReduce
+      keeps a provably sufficient candidate set per shard, and the default
+      ``aggregate_to_topk`` finishes with an exact sorted top-k over it.
+      Measured 10.8x faster than 'sort' at SSD300 decode shape
+      ((160, 8732), k=400) — selection beats full sorting. Values and
+      order are identical to 'sort' except that *exact score ties* may
+      resolve to a different (equally-scored) candidate; ties below the
+      confidence threshold are masked out downstream and cannot matter.
+    * 'sort': ``lax.top_k`` — a full per-lane sort; the reference-stable
+      tie order (lowest index first).
+    * 'approx': ``lax.approx_max_k`` with recall_target 0.97, followed by
+      an exact sort of the k results to restore the score-descending order
+      greedy NMS requires. The ~3% of candidates it may miss are, by the
+      top-P truncation argument (see ``_decode_caffe_batched``), never able
+      to change which higher-scored boxes survive NMS; they can only be
+      absent themselves, and only matter if they would have made the
+      global top-k.
     """
-    if topk_impl == "exact":
+    if topk_impl in ("auto", "exact_fast", "exact"):
+        if scores.shape[-1] <= k or topk_impl == "exact":
+            return jax.lax.top_k(scores, k)
+        return jax.lax.approx_max_k(scores, k, recall_target=1.0)
+    if topk_impl == "sort":
         return jax.lax.top_k(scores, k)
     vals, idx = jax.lax.approx_max_k(scores, k, recall_target=0.97)
     # approx_max_k returns unsorted buckets: restore descending order.
@@ -221,7 +235,7 @@ def _decode_caffe_batched(
     flat_classes = class_ids.reshape(b, -1)
 
     k_eff = min(top_k, flat_scores.shape[1])
-    top_scores, top_idx = jax.lax.top_k(flat_scores, k_eff)  # (B, k_eff)
+    top_scores, top_idx = _topk_lanes(flat_scores, k_eff, topk_impl)  # (B, k_eff)
     out = jnp.concatenate(
         [
             jnp.take_along_axis(flat_classes, top_idx, axis=1)[..., None],
@@ -258,7 +272,7 @@ def decode_detections_fixed(
     nms_impl: str = "auto",
     nms_candidates: Optional[int] = None,
     border_pixels: str = "half",
-    topk_impl: str = "exact",
+    topk_impl: str = "auto",
 ):
     """Caffe-faithful in-graph decode -> ``(batch, top_k, 6)``.
 
@@ -299,6 +313,7 @@ def decode_detections_fixed(
 def _decode_fast_batched(
     confs, corners, *, confidence_thresh, iou_threshold, top_k,
     nms_max_output_size, nms_impl, nms_candidates=None, border_delta=0.0,
+    topk_impl="auto",
 ):
     """Fast decode for a whole batch: argmax class first, one global NMS per
     image (each image is one NMS lane). Candidate-pool truncation semantics
@@ -311,7 +326,7 @@ def _decode_fast_batched(
     conf = jnp.max(confs, axis=-1)
     eligible = (class_id != 0) & (conf >= confidence_thresh)
     masked = jnp.where(eligible, conf, -1.0)
-    cand_scores, cand_idx = jax.lax.top_k(masked, k)  # (B, K)
+    cand_scores, cand_idx = _topk_lanes(masked, k, topk_impl)  # (B, K)
     cand_boxes = jnp.take_along_axis(corners, cand_idx[..., None], axis=1)
     cand_classes = jnp.take_along_axis(class_id, cand_idx, axis=1)
     valid = cand_scores > 0.0
@@ -320,7 +335,7 @@ def _decode_fast_batched(
         keep = keep & (jnp.cumsum(keep, axis=-1) <= nms_max_output_size)
     scores = jnp.where(keep, cand_scores, 0.0)
     k_eff = min(top_k, scores.shape[1])
-    top_scores, top_idx = jax.lax.top_k(scores, k_eff)
+    top_scores, top_idx = _topk_lanes(scores, k_eff, topk_impl)
     out = jnp.concatenate(
         [
             jnp.take_along_axis(cand_classes, top_idx, axis=1)[..., None].astype(
@@ -342,7 +357,7 @@ def _decode_fast_batched(
     static_argnames=(
         "confidence_thresh", "iou_threshold", "top_k", "nms_max_output_size",
         "input_coords", "normalize_coords", "img_height", "img_width", "nms_impl",
-        "nms_candidates", "border_pixels",
+        "nms_candidates", "border_pixels", "topk_impl",
     ),
 )
 def decode_detections_fast_fixed(
@@ -358,6 +373,7 @@ def decode_detections_fast_fixed(
     nms_impl: str = "auto",
     nms_candidates: Optional[int] = None,
     border_pixels: str = "half",
+    topk_impl: str = "auto",
 ):
     """Fast in-graph decode (argmax class, global NMS) -> ``(batch, top_k, 6)``.
 
@@ -382,6 +398,7 @@ def decode_detections_fast_fixed(
         nms_impl=nms_impl,
         nms_candidates=nms_candidates,
         border_delta=_bd(border_pixels),
+        topk_impl=topk_impl,
     )
 
 
