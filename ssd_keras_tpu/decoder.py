@@ -104,17 +104,22 @@ def decode_offsets(
 def _nms_lanes(lane_boxes, lane_valid, iou_threshold, nms_impl, border_delta=0.0):
     """Dispatch NMS over (L, K) lanes.
 
-    'auto' resolves to $SSD_NMS_IMPL if set, else 'fixpoint' — the MXU
-    formulation (ops/nms.py:greedy_nms_mask_fixpoint), exact greedy with a
-    handful of sequential matrix steps instead of K scan steps. Alternatives:
-    'scan' (K-step lax.scan), 'blocked' (block-decomposed scan), 'pallas' /
-    'pallas_interpret' (the VMEM-resident Pallas kernel; 'half' IoU only —
-    a nonzero ``border_delta`` falls back to 'fixpoint').
+    'auto' resolves to $SSD_NMS_IMPL if set; otherwise 'pallas' on TPU (the
+    VMEM-resident kernel — measured 1.0 ms faster than 'fixpoint' per SSD300
+    batch-8 decode, 8.8 -> 7.4 ms end-to-end inference) and 'fixpoint'
+    elsewhere (the Jacobi masked-any iteration, ops/nms.py:
+    greedy_nms_mask_fixpoint — portable, exact). Alternatives: 'scan'
+    (K-step lax.scan), 'blocked' (block-decomposed scan), 'pallas_interpret'
+    (the Pallas kernel interpreted, for CPU testing). The Pallas kernel
+    implements 'half'-convention IoU only — a nonzero ``border_delta`` falls
+    back to 'fixpoint'.
     """
     if nms_impl == "auto":
         import os
 
-        nms_impl = os.environ.get("SSD_NMS_IMPL", "") or "fixpoint"
+        nms_impl = os.environ.get("SSD_NMS_IMPL", "")
+        if not nms_impl:
+            nms_impl = "pallas" if jax.default_backend() == "tpu" else "fixpoint"
     if nms_impl in ("pallas", "pallas_interpret") and border_delta != 0.0:
         nms_impl = "fixpoint"
     if nms_impl == "fixpoint":

@@ -74,6 +74,14 @@ def _nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, keep_ref, sup_ref,
     jax.lax.fori_loop(0, k_real, body, 0)
 
 
+# Lanes processed per kernel instance. Independent lanes make the grid
+# embarrassingly parallel; the block bounds VMEM residency to
+# 7 arrays x K_pad x _LANE_BLOCK x 4B (~5.7 MB at K=512) so arbitrarily
+# many (batch x class) lanes — e.g. COCO's 80 classes at batch 32 — never
+# overflow VMEM.
+_LANE_BLOCK = 512
+
+
 @functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
 def greedy_nms_mask_batched(
     boxes: jnp.ndarray,  # (L, K, 4) corners, score-descending per lane
@@ -81,10 +89,11 @@ def greedy_nms_mask_batched(
     iou_threshold: float = 0.45,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(L, K) bool keep mask; Pallas kernel over all lanes at once."""
+    """(L, K) bool keep mask; Pallas kernel, lanes tiled in blocks of 512."""
     l, k = boxes.shape[0], boxes.shape[1]
     k_pad = _ceil_to(max(k, _SUBLANE), _SUBLANE)
-    l_pad = _ceil_to(max(l, _LANE), _LANE)
+    block = min(_LANE_BLOCK, _ceil_to(max(l, _LANE), _LANE))
+    l_pad = _ceil_to(max(l, block), block)
 
     def prep(c):
         x = boxes[:, :, c].T.astype(jnp.float32)  # (K, L)
@@ -96,12 +105,14 @@ def greedy_nms_mask_batched(
     kernel = functools.partial(
         _nms_kernel, k_real=k, iou_threshold=float(iou_threshold)
     )
+    spec = pl.BlockSpec((k_pad, block), lambda i: (0, i))
     keep = pl.pallas_call(
         kernel,
+        grid=(l_pad // block,),
         out_shape=jax.ShapeDtypeStruct((k_pad, l_pad), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((k_pad, l_pad), jnp.float32)],
+        in_specs=[spec] * 5,
+        out_specs=spec,
+        scratch_shapes=[pltpu.VMEM((k_pad, block), jnp.float32)],
         interpret=interpret,
     )(x1, y1, x2, y2, v)
     return keep[:k, :l].T > 0.5

@@ -58,6 +58,17 @@ def assemble_predictions(
     return jnp.concatenate([conf, loc, anchors], axis=2)
 
 
+def validate_mode(mode: str) -> str:
+    """Reject unknown modes at build time, like the reference builders do
+    (keras_ssd300.py raises in ``ssd_300`` before constructing the graph)."""
+    if mode not in ("training", "inference", "inference_fast"):
+        raise ValueError(
+            f"`mode` must be 'training', 'inference' or 'inference_fast', "
+            f"got {mode!r}."
+        )
+    return mode
+
+
 def apply_mode(predictions: jnp.ndarray, mode: str, config: SSDConfig) -> jnp.ndarray:
     """Append the in-graph decode stage for 'inference' / 'inference_fast' modes."""
     if mode == "training":

@@ -24,6 +24,7 @@ from ssd_keras_tpu.models.common import (
     assemble_predictions,
     same_pool_size,
     valid_size,
+    validate_mode,
 )
 from ssd_keras_tpu.models.layers import (
     L2Normalization,
@@ -168,6 +169,7 @@ def ssd_300(
         config = SSDConfig.ssd300(**config_overrides)
     elif config_overrides:
         raise ValueError("Pass either a config or overrides, not both.")
-    module = SSD300(config=config, mode=mode, compute_dtype=compute_dtype)
+    module = SSD300(config=config, mode=validate_mode(mode),
+                    compute_dtype=compute_dtype)
     sizes = ssd300_predictor_sizes(config.img_height, config.img_width)
     return module, np.array(sizes)

@@ -20,6 +20,7 @@ from ssd_keras_tpu.models.common import (
     assemble_predictions,
     same_pool_size,
     valid_size,
+    validate_mode,
 )
 from ssd_keras_tpu.models.layers import (
     L2Normalization,
@@ -155,6 +156,7 @@ def ssd_512(
         config = SSDConfig.ssd512(**config_overrides)
     elif config_overrides:
         raise ValueError("Pass either a config or overrides, not both.")
-    module = SSD512(config=config, mode=mode, compute_dtype=compute_dtype)
+    module = SSD512(config=config, mode=validate_mode(mode),
+                    compute_dtype=compute_dtype)
     sizes = ssd512_predictor_sizes(config.img_height, config.img_width)
     return module, np.array(sizes)

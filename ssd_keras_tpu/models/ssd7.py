@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ssd_keras_tpu.config import SSDConfig
-from ssd_keras_tpu.models.common import apply_mode, assemble_predictions
+from ssd_keras_tpu.models.common import apply_mode, assemble_predictions, validate_mode
 from ssd_keras_tpu.models.layers import conv_ssd, fused_prediction_heads, preprocess_input
 
 __all__ = ["SSD7", "build_model", "ssd_7", "ssd7_predictor_sizes"]
@@ -100,7 +100,8 @@ def build_model(
         config = SSDConfig.ssd7(**config_overrides)
     elif config_overrides:
         raise ValueError("Pass either a config or overrides, not both.")
-    module = SSD7(config=config, mode=mode, compute_dtype=compute_dtype)
+    module = SSD7(config=config, mode=validate_mode(mode),
+                  compute_dtype=compute_dtype)
     sizes = ssd7_predictor_sizes(config.img_height, config.img_width)
     return module, np.array(sizes)
 

@@ -337,6 +337,35 @@ def test_pallas_nms_mask_direct():
     np.testing.assert_array_equal(got, expected)
 
 
+def test_pallas_nms_lane_tiling(monkeypatch):
+    """Lane counts beyond one VMEM block (COCO scale: batch x 80 classes)
+    are processed by a multi-instance grid; every block must match the
+    single-block selection exactly."""
+    from ssd_keras_tpu.kernels import nms_pallas
+    from ssd_keras_tpu.ops.nms import greedy_nms_mask
+    import jax
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(nms_pallas, "_LANE_BLOCK", 128)
+    rng = np.random.RandomState(1)
+    L, K = 300, 40  # -> l_pad 384 = 3 grid blocks of 128 lanes
+    boxes = rng.rand(L, K, 4).astype(np.float32) * 50
+    boxes[..., 2:] = boxes[..., :2] + rng.rand(L, K, 2).astype(np.float32) * 30 + 1
+    scores = -np.sort(-rng.rand(L, K).astype(np.float32))
+    valid = scores > 0.3
+    expected = np.asarray(
+        jax.vmap(lambda b, v: greedy_nms_mask(b, v, 0.5))(
+            jnp.asarray(boxes), jnp.asarray(valid)
+        )
+    )
+    got = np.asarray(
+        nms_pallas.greedy_nms_mask_batched(
+            jnp.asarray(boxes), jnp.asarray(valid), 0.5, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(got, expected)
+
+
 @pytest.mark.parametrize("impl", ["fixpoint", "blocked"])
 def test_nms_impl_variants_match_scan(y_pred, impl):
     kwargs = dict(
