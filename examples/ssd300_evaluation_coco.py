@@ -35,9 +35,12 @@ def main():
     p.add_argument("--weights", default=None)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--out_file", default="detections_coco_results.json")
+    p.add_argument("--n_classes", type=int, default=80,
+                   help="number of foreground classes (80 for MS COCO; match "
+                        "the annotations file's category count)")
     args = p.parse_args()
 
-    config = SSDConfig.ssd300(n_classes=80, dataset="coco")
+    config = SSDConfig.ssd300(n_classes=args.n_classes, dataset="coco")
     model, _ = ssd_300(config, mode="training", compute_dtype=jnp.bfloat16)
 
     dataset = DataGenerator(load_images_into_memory=False)

@@ -232,14 +232,18 @@ class SynthVOC:
         return images, labels
 
     def export_voc(self, root: str, images: Optional[np.ndarray] = None,
-                   labels: Optional[list] = None, image_set: str = None):
+                   labels: Optional[list] = None, image_set: str = None,
+                   class_names: Optional[list] = None):
         """Write the split to disk in Pascal-VOC layout.
 
         Produces ``JPEGImages/*.jpg``, ``Annotations/*.xml`` and
         ``ImageSets/Main/<split>.txt`` exactly as the reference's
         ``parse_xml`` expects (object_detection_2d_data_generator.py:404),
         so the real XML-parser + host-pipeline workflows can be exercised
-        end-to-end without Pascal VOC itself. Returns
+        end-to-end without Pascal VOC itself. ``class_names`` (index 0 =
+        background, length n_classes+1) overrides the object names written
+        to the XMLs — passing the 20 Pascal-VOC names lets the unmodified
+        VOC workflow scripts run against the export. Returns
         ``(images_dir, annotations_dir, image_set_path)``.
         """
         import os
@@ -249,6 +253,7 @@ class SynthVOC:
 
         if images is None or labels is None:
             images, labels = self.materialize()
+        names = class_names or SYNTHVOC_CLASS_NAMES
         image_set = image_set or self.split
         img_dir = os.path.join(root, "JPEGImages")
         ann_dir = os.path.join(root, "Annotations")
@@ -264,7 +269,7 @@ class SynthVOC:
             )
             objs = []
             for cls, x0, y0, x1, y1 in np.asarray(labels[i]):
-                name = escape(SYNTHVOC_CLASS_NAMES[int(cls)])
+                name = escape(names[int(cls)])
                 # VOC convention: 1-based inclusive pixel coordinates.
                 objs.append(
                     "  <object>\n"

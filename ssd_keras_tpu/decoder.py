@@ -110,9 +110,8 @@ def _nms_lanes(lane_boxes, lane_valid, iou_threshold, nms_impl, border_delta=0.0
     elsewhere (the Jacobi masked-any iteration, ops/nms.py:
     greedy_nms_mask_fixpoint — portable, exact). Alternatives: 'scan'
     (K-step lax.scan), 'blocked' (block-decomposed scan), 'pallas_interpret'
-    (the Pallas kernel interpreted, for CPU testing). The Pallas kernel
-    implements 'half'-convention IoU only — a nonzero ``border_delta`` falls
-    back to 'fixpoint'.
+    (the Pallas kernel interpreted, for CPU testing). All implementations
+    honor ``border_delta`` (the border_pixels convention as a width offset).
     """
     if nms_impl == "auto":
         import os
@@ -120,8 +119,6 @@ def _nms_lanes(lane_boxes, lane_valid, iou_threshold, nms_impl, border_delta=0.0
         nms_impl = os.environ.get("SSD_NMS_IMPL", "")
         if not nms_impl:
             nms_impl = "pallas" if jax.default_backend() == "tpu" else "fixpoint"
-    if nms_impl in ("pallas", "pallas_interpret") and border_delta != 0.0:
-        nms_impl = "fixpoint"
     if nms_impl == "fixpoint":
         from ssd_keras_tpu.ops.nms import greedy_nms_mask_fixpoint
 
@@ -138,7 +135,7 @@ def _nms_lanes(lane_boxes, lane_valid, iou_threshold, nms_impl, border_delta=0.0
         from ssd_keras_tpu.kernels.nms_pallas import greedy_nms_mask_batched
 
         return greedy_nms_mask_batched(
-            lane_boxes, lane_valid, iou_threshold,
+            lane_boxes, lane_valid, iou_threshold, border_delta,
             interpret=(nms_impl == "pallas_interpret"),
         )
     return jax.vmap(

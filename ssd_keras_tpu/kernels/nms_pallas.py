@@ -38,13 +38,17 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, keep_ref, sup_ref,
-                *, k_real: int, iou_threshold: float):
-    """All refs are (K_pad, L_pad) f32 in VMEM; sup_ref is scratch."""
+                *, k_real: int, iou_threshold: float, border_delta: float):
+    """All refs are (K_pad, L_pad) f32 in VMEM; sup_ref is scratch.
+    ``border_delta`` is the reference's border_pixels convention as a width
+    offset ('half'=0, 'include'=+1, 'exclude'=-1; ops/boxes.py:border_delta).
+    """
     k_pad = x1_ref.shape[0]
+    d = border_delta
     sup_ref[:] = jnp.zeros_like(sup_ref)
     keep_ref[:] = jnp.zeros_like(keep_ref)  # padded rows stay unselected
 
-    area = (x2_ref[:] - x1_ref[:]) * (y2_ref[:] - y1_ref[:])  # (K, L)
+    area = (x2_ref[:] - x1_ref[:] + d) * (y2_ref[:] - y1_ref[:] + d)  # (K, L)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (k_pad, x1_ref.shape[1]), 0)
 
     def body(i, _):
@@ -56,10 +60,10 @@ def _nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, keep_ref, sup_ref,
         keep_i = valid_ref[i, :] * (1.0 - sup_ref[i, :])  # (L,)
         keep_ref[i, :] = keep_i
 
-        iw = jnp.maximum(0.0, jnp.minimum(x2_i, x2_ref[:]) - jnp.maximum(x1_i, x1_ref[:]))
-        ih = jnp.maximum(0.0, jnp.minimum(y2_i, y2_ref[:]) - jnp.maximum(y1_i, y1_ref[:]))
+        iw = jnp.maximum(0.0, jnp.minimum(x2_i, x2_ref[:]) - jnp.maximum(x1_i, x1_ref[:]) + d)
+        ih = jnp.maximum(0.0, jnp.minimum(y2_i, y2_ref[:]) - jnp.maximum(y1_i, y1_ref[:]) + d)
         inter = iw * ih
-        area_i = (x2_i - x1_i) * (y2_i - y1_i)
+        area_i = (x2_i - x1_i + d) * (y2_i - y1_i + d)
         union = area_i + area - inter
         iou = jnp.where(union > 0.0, inter / union, 0.0)
 
@@ -82,11 +86,14 @@ def _nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, keep_ref, sup_ref,
 _LANE_BLOCK = 512
 
 
-@functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("iou_threshold", "border_delta", "interpret")
+)
 def greedy_nms_mask_batched(
     boxes: jnp.ndarray,  # (L, K, 4) corners, score-descending per lane
     valid: jnp.ndarray,  # (L, K) bool
     iou_threshold: float = 0.45,
+    border_delta: float = 0.0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """(L, K) bool keep mask; Pallas kernel, lanes tiled in blocks of 512."""
@@ -103,7 +110,8 @@ def greedy_nms_mask_batched(
     v = jnp.pad(valid.T.astype(jnp.float32), ((0, k_pad - k), (0, l_pad - l)))
 
     kernel = functools.partial(
-        _nms_kernel, k_real=k, iou_threshold=float(iou_threshold)
+        _nms_kernel, k_real=k, iou_threshold=float(iou_threshold),
+        border_delta=float(border_delta),
     )
     spec = pl.BlockSpec((k_pad, block), lambda i: (0, i))
     keep = pl.pallas_call(

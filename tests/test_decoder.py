@@ -337,6 +337,37 @@ def test_pallas_nms_mask_direct():
     np.testing.assert_array_equal(got, expected)
 
 
+@pytest.mark.parametrize("border_delta", [1.0, -1.0])
+def test_pallas_nms_border_delta(border_delta):
+    """'include'/'exclude' border conventions (the evaluator's reference-
+    parity default is 'include') must select the same boxes as the scan."""
+    from ssd_keras_tpu.kernels.nms_pallas import greedy_nms_mask_batched
+    from ssd_keras_tpu.ops.nms import greedy_nms_mask
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(2)
+    L, K = 6, 33
+    boxes = np.floor(rng.rand(L, K, 4).astype(np.float32) * 40)
+    boxes[..., 2:] = boxes[..., :2] + np.floor(
+        rng.rand(L, K, 2).astype(np.float32) * 20
+    ) + 2
+    scores = -np.sort(-rng.rand(L, K).astype(np.float32))
+    valid = scores > 0.2
+    expected = np.asarray(
+        jax.vmap(lambda b, v: greedy_nms_mask(b, v, 0.5, border_delta))(
+            jnp.asarray(boxes), jnp.asarray(valid)
+        )
+    )
+    got = np.asarray(
+        greedy_nms_mask_batched(
+            jnp.asarray(boxes), jnp.asarray(valid), 0.5, border_delta,
+            interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, expected)
+
+
 def test_pallas_nms_lane_tiling(monkeypatch):
     """Lane counts beyond one VMEM block (COCO scale: batch x 80 classes)
     are processed by a multi-instance grid; every block must match the
