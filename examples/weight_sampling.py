@@ -26,12 +26,15 @@ import numpy as np
 
 from ssd_keras_tpu.weights_io import sample_classifier_weights
 
+# Boxes per cell for the 6 SSD300 conf heads: ARs [1,2,1/2] (+geomean ar=1
+# box) on conv4_3/conv8_2/conv9_2, [1,2,1/2,3,1/3] on fc7/conv6_2/conv7_2
+# (keras_ssd300.py:39-44 defaults) -> [4, 6, 6, 6, 4, 4].
 SSD300_CONF_HEADS = {
     "conv4_3_norm_mbox_conf": 4,
     "fc7_mbox_conf": 6,
     "conv6_2_mbox_conf": 6,
     "conv7_2_mbox_conf": 6,
-    "conv8_2_mbox_conf": 6,
+    "conv8_2_mbox_conf": 4,
     "conv9_2_mbox_conf": 4,
 }
 

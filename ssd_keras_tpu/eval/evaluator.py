@@ -283,7 +283,13 @@ class Evaluator:
             with open(f"{out_file_prefix}{suffix}.txt", "w") as f:
                 for prediction in self.prediction_results[class_id]:
                     row = list(prediction)
-                    row[0] = f"{int(row[0]):06d}"
+                    try:
+                        # VOC submission format: 6-digit numeric image ids
+                        # (average_precision_evaluator.py:467). Non-numeric
+                        # ids (custom datasets) are written verbatim.
+                        row[0] = f"{int(row[0]):06d}"
+                    except (TypeError, ValueError):
+                        row[0] = str(row[0])
                     row[1] = round(row[1], 4)
                     f.write(" ".join(map(str, row)) + "\n")
 
