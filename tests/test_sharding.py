@@ -86,6 +86,52 @@ def test_sharded_train_step_matches_unsharded(setup):
     np.testing.assert_allclose(k1, k2, rtol=1e-4, atol=1e-6)
 
 
+def test_sharded_decode_matches_unsharded(setup):
+    """The evaluator's device-decode path under the mesh: the in-graph decode
+    (per-class NMS + top-k) on a batch-sharded prediction tensor must produce
+    the same detections as the single-device run.
+
+    Uses synthetic predictions with well-separated scores — a random-init
+    model forward produces near-tied scores whose top-k order legitimately
+    differs between program shapes (XLA fusion/FMA variation), which is
+    tie-breaking noise, not a sharding defect.
+    """
+    import functools
+
+    from ssd_keras_tpu.decoder import decode_detections_fixed
+
+    cfg, model, images, y_true = setup
+    rng = np.random.RandomState(3)
+    batch, n, C = 8, 340, cfg.n_classes_with_background
+    y_pred = np.zeros((batch, n, C + 12), np.float32)
+    conf = rng.rand(batch, n, C).astype(np.float32)
+    y_pred[..., :C] = conf / conf.sum(-1, keepdims=True)
+    y_pred[..., C : C + 4] = rng.randn(batch, n, 4).astype(np.float32) * 0.1
+    cx, cy = rng.rand(2, n).astype(np.float32)
+    wh = (rng.rand(2, n) * 0.2 + 0.05).astype(np.float32)
+    y_pred[..., -8] = cx
+    y_pred[..., -7] = cy
+    y_pred[..., -6:-4] = wh.T
+    y_pred[..., -4:] = [0.1, 0.1, 0.2, 0.2]
+
+    decode = functools.partial(
+        decode_detections_fixed, confidence_thresh=0.02, top_k=cfg.top_k,
+        img_height=64, img_width=64,
+    )
+    unsharded = np.asarray(decode(jnp.asarray(y_pred)))
+
+    mesh = sh.make_mesh()
+    sharded_fn = jax.jit(
+        decode,
+        in_shardings=(sh.batch_sharding(mesh),),
+        out_shardings=sh.batch_sharding(mesh),
+    )
+    (sp,) = sh.shard_batch((y_pred,), mesh)
+    sharded = np.asarray(sharded_fn(sp))
+    assert sharded.shape == (batch, cfg.top_k, 6)
+    np.testing.assert_allclose(sharded, unsharded, rtol=1e-5, atol=1e-5)
+
+
 def test_multi_step_training_on_mesh(setup):
     cfg, model, images, y_true = setup
     mesh = sh.make_mesh()
