@@ -69,14 +69,14 @@ def main():
     elapsed = min(timed(n_iters) for _ in range(3))
 
     fps = batch * n_iters / elapsed
-    baseline = BASELINE_FPS.get(batch, BASELINE_FPS[8])
+    baseline = BASELINE_FPS.get(batch)  # no like-for-like ratio otherwise
     print(
         json.dumps(
             {
                 "metric": f"ssd300_inference_fps_batch{batch}",
                 "value": round(fps, 2),
                 "unit": "images/s",
-                "vs_baseline": round(fps / baseline, 2),
+                "vs_baseline": round(fps / baseline, 2) if baseline else None,
             }
         )
     )

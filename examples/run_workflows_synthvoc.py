@@ -44,13 +44,18 @@ EXAMPLES = os.path.dirname(os.path.abspath(__file__))
 def run(name, cmd, results, timeout=1800):
     print(f"\n=== {name}: {' '.join(cmd)}", flush=True)
     t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable] + cmd, capture_output=True, text=True, timeout=timeout,
-        cwd=os.path.dirname(EXAMPLES),
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable] + cmd, capture_output=True, text=True,
+            timeout=timeout, cwd=os.path.dirname(EXAMPLES),
+        )
+        tail = "\n".join((proc.stdout + proc.stderr).strip().splitlines()[-12:])
+        ok = proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        # A hung workflow must not discard the report for the ones that ran.
+        tail = f"timed out after {timeout}s"
+        ok = False
     dt = time.time() - t0
-    tail = "\n".join((proc.stdout + proc.stderr).strip().splitlines()[-12:])
-    ok = proc.returncode == 0
     results.append({"workflow": name, "ok": ok, "seconds": round(dt, 1),
                     "tail": tail})
     print(tail, flush=True)

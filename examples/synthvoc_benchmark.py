@@ -80,7 +80,12 @@ def build_optimizer(name: str, steps: int, peak_lr: float, warmup: int,
         ), lambda step: peak_lr
     # Canonical SSD300 recipe with warmup replacing the pretrained-VGG start;
     # x0.1 drops at 2/3 and 5/6 of the run (the 80k/100k-of-120k pattern).
-    drops = {int(steps * 2 / 3): 0.1, int(steps * 5 / 6): 0.1}
+    # join_schedules passes (step - warmup) to the second schedule, so the
+    # drop keys are shifted to land at the intended *global* steps.
+    drops = {
+        max(1, int(steps * 2 / 3) - warmup): 0.1,
+        max(2, int(steps * 5 / 6) - warmup): 0.1,
+    }
     sched = optax.join_schedules(
         [
             optax.linear_schedule(peak_lr * 0.01, peak_lr, warmup),

@@ -289,8 +289,10 @@ def decode_detections_fixed(
     reference's in-graph tf.image.non_max_suppression; 'include' matches its
     host-side ``decode_detections`` default).
 
-    ``nms_impl``: 'auto' (fixpoint), 'scan', 'blocked', 'pallas', or
-    'pallas_interpret' (for testing the kernel on CPU).
+    ``nms_impl``: 'auto' (the Pallas kernel ``kernels/nms_pallas.py`` on
+    TPU, the XLA boolean fixpoint elsewhere; override via $SSD_NMS_IMPL),
+    'fixpoint', 'scan', 'blocked', 'pallas', or 'pallas_interpret' (for
+    testing the kernel on CPU).
     """
     from ssd_keras_tpu.ops.boxes import border_delta as _bd
 

@@ -187,7 +187,8 @@ def _load_jpeg() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-            ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
         ]
         _JPEG_LIB = lib
         return lib
@@ -199,12 +200,14 @@ def jpeg_available() -> bool:
 
 
 def decode_jpeg_batch(buffers, n_threads: int = 0):
-    """Decode a list of JPEG byte strings to RGB uint8 arrays in parallel.
+    """Decode a list of JPEG byte strings to uint8 arrays in parallel.
 
-    Returns a list of (H, W, 3) arrays, or None if the native library is
-    unavailable (callers fall back to PIL). Individual corrupt images raise
-    ValueError. ``n_threads`` 0 = one thread per available CPU (capped at
-    the batch size).
+    Color JPEGs yield (H, W, 3) RGB; grayscale JPEGs yield (H, W) — the same
+    shapes ``np.array(PIL.Image.open(...))`` produces, so callers see
+    identical batches whether this native path or the PIL fallback ran.
+    Returns None if the native library is unavailable. Individual corrupt
+    images raise ValueError. ``n_threads`` 0 = one thread per available CPU
+    (capped at the batch size).
     """
     lib = _load_jpeg()
     if lib is None:
@@ -227,9 +230,14 @@ def decode_jpeg_batch(buffers, n_threads: int = 0):
         )
         if rc != 0:
             raise ValueError(f"Invalid JPEG header in image {i}.")
-        dims.append((h.value, w.value))
+        # Grayscale stays (H, W) like PIL; everything else (incl. CMYK,
+        # which libjpeg converts) decodes to (H, W, 3) RGB.
+        dims.append((h.value, w.value, 1 if c.value == 1 else 3))
 
-    outs = [np.empty((hh, ww, 3), np.uint8) for hh, ww in dims]
+    outs = [
+        np.empty((hh, ww) if ch == 1 else (hh, ww, ch), np.uint8)
+        for hh, ww, ch in dims
+    ]
     data_ptrs = (ctypes.c_void_p * n)(
         *[b.ctypes.data_as(ctypes.c_void_p).value for b in bufs]
     )
@@ -239,11 +247,12 @@ def decode_jpeg_batch(buffers, n_threads: int = 0):
     lens = (ctypes.c_int * n)(*[b.size for b in bufs])
     heights = (ctypes.c_int * n)(*[d[0] for d in dims])
     widths = (ctypes.c_int * n)(*[d[1] for d in dims])
+    channels = (ctypes.c_int * n)(*[d[2] for d in dims])
     status = (ctypes.c_int * n)()
     failures = lib.ssd_decode_jpeg_batch(
         ctypes.cast(data_ptrs, ctypes.POINTER(ctypes.c_void_p)), lens, n,
         ctypes.cast(out_ptrs, ctypes.POINTER(ctypes.c_void_p)),
-        heights, widths, n_threads, status,
+        heights, widths, channels, n_threads, status,
     )
     if failures:
         bad = [i for i in range(n) if status[i] != 0]

@@ -37,9 +37,12 @@ void on_error(j_common_ptr cinfo) {
 void silence(j_common_ptr, int) {}
 void silence_msg(j_common_ptr) {}
 
-// Decode one JPEG buffer to RGB uint8. Returns 0 on success.
+// Decode one JPEG buffer to uint8, `channels` 1 (grayscale) or 3 (RGB) —
+// matching what PIL's np.array(Image.open(...)) yields for the same file,
+// so the batch path and the per-image fallback agree on shapes. Returns 0
+// on success.
 int decode_one(const uint8_t* data, int len, uint8_t* out, int out_h,
-               int out_w) {
+               int out_w, int channels) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -54,16 +57,16 @@ int decode_one(const uint8_t* data, int len, uint8_t* out, int out_h,
   jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data),
                static_cast<unsigned long>(len));
   jpeg_read_header(&cinfo, TRUE);
-  cinfo.out_color_space = JCS_RGB;
+  cinfo.out_color_space = channels == 1 ? JCS_GRAYSCALE : JCS_RGB;
   jpeg_start_decompress(&cinfo);
   if (static_cast<int>(cinfo.output_height) != out_h ||
       static_cast<int>(cinfo.output_width) != out_w ||
-      cinfo.output_components != 3) {
+      cinfo.output_components != channels) {
     jpeg_abort_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
     return 2;
   }
-  const int stride = out_w * 3;
+  const int stride = out_w * channels;
   while (cinfo.output_scanline < cinfo.output_height) {
     JSAMPROW row = out + static_cast<size_t>(cinfo.output_scanline) * stride;
     jpeg_read_scanlines(&cinfo, &row, 1);
@@ -101,12 +104,13 @@ int ssd_jpeg_dims(const uint8_t* data, int len, int* width, int* height,
   return 0;
 }
 
-// Decode n JPEG buffers into caller-allocated RGB buffers, n_threads-wide.
-// Returns the number of failed images (0 = all good); failures are recorded
-// in `status` (0 ok, nonzero error code per image).
+// Decode n JPEG buffers into caller-allocated buffers (channels[i] 1 or 3),
+// n_threads-wide. Returns the number of failed images (0 = all good);
+// failures are recorded in `status` (0 ok, nonzero error code per image).
 int ssd_decode_jpeg_batch(const uint8_t** datas, const int* lens, int n,
                           uint8_t** outs, const int* heights,
-                          const int* widths, int n_threads, int* status) {
+                          const int* widths, const int* channels,
+                          int n_threads, int* status) {
   if (n_threads < 1) n_threads = 1;
   if (n_threads > n) n_threads = n;
   std::vector<std::thread> workers;
@@ -115,7 +119,7 @@ int ssd_decode_jpeg_batch(const uint8_t** datas, const int* lens, int n,
     workers.emplace_back([&, t]() {
       for (int i = t; i < n; i += n_threads) {
         status[i] = decode_one(datas[i], lens[i], outs[i], heights[i],
-                               widths[i]);
+                               widths[i], channels[i]);
       }
     });
   }

@@ -52,10 +52,17 @@ class SSDPredictor:
       resize_on_device: fuse the input resample into the compiled forward
         (default). ``False`` forces the host PIL path for every non-model-size
         input (useful to reproduce the reference's exact PIL numerics).
+      max_compiled_shapes: each distinct (height, width, dtype) input shape
+        compiles (and retains) its own XLA program; serving arbitrary
+        resolutions would otherwise grow that cache without bound. Beyond
+        this many shapes the least-recently-used program is dropped (it is
+        recompiled if that shape comes back). Callers with truly variable
+        inputs should bucket sizes upstream.
     """
 
     def __init__(self, module, variables, batch_size: int = 8,
-                 confidence_thresh: float = 0.0, resize_on_device: bool = True):
+                 confidence_thresh: float = 0.0, resize_on_device: bool = True,
+                 max_compiled_shapes: int = 16):
         if module.mode == "training":
             raise ValueError(
                 "SSDPredictor needs an 'inference' or 'inference_fast' model."
@@ -67,13 +74,19 @@ class SSDPredictor:
         self.confidence_thresh = confidence_thresh
         self.resize_on_device = resize_on_device
         self._model_hw = (self.config.img_height, self.config.img_width)
-        # One compiled resize+forward program per (in_h, in_w, dtype).
-        self._compiled: Dict[Tuple, object] = {}
+        # One compiled resize+forward program per (in_h, in_w, dtype),
+        # LRU-bounded at max_compiled_shapes.
+        from collections import OrderedDict
+
+        self._compiled: "OrderedDict[Tuple, object]" = OrderedDict()
+        self._max_compiled = max(1, int(max_compiled_shapes))
 
     def _fused_run(self, ih: int, iw: int, dtype):
         """Jitted resize(ih, iw -> model size) + forward, cached per shape."""
         key = (ih, iw, np.dtype(dtype).str)
         fn = self._compiled.get(key)
+        if fn is not None:
+            self._compiled.move_to_end(key)
         if fn is None:
             h, w = self._model_hw
             module = self.module
@@ -85,6 +98,8 @@ class SSDPredictor:
                     return module.apply(variables, device_resize_batch(imgs, h, w))
             fn = jax.jit(f)
             self._compiled[key] = fn
+            while len(self._compiled) > self._max_compiled:
+                self._compiled.popitem(last=False)
         return fn
 
     def _resize_host(self, image: np.ndarray) -> np.ndarray:

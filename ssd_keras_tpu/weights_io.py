@@ -99,6 +99,7 @@ def load_keras_h5_weights(
     """
     import h5py
 
+    stats_provided = batch_stats is not None
     params = {k: dict(v) for k, v in params.items()}
     batch_stats = {k: dict(v) for k, v in (batch_stats or {}).items()}
     loaded = []
@@ -112,6 +113,10 @@ def load_keras_h5_weights(
             for ds_name, value in datasets.items():
                 key = _weight_key(ds_name, name)
                 flax_key = _KERAS_TO_FLAX.get(key, key)
+                if key in _BN_STATS and not stats_provided:
+                    # Caller loads params only — skipping the BN moving
+                    # stats is the documented semantics, not a porting bug.
+                    continue
                 dest = target_s if key in _BN_STATS else target_p
                 if dest is None or flax_key not in dest:
                     unconsumed.append(f"{name}/{ds_name}")
@@ -160,7 +165,9 @@ def save_keras_h5_weights(
     inv = {v: k for k, v in _KERAS_TO_FLAX.items()}
 
     def _bytes_attr(names):
-        return np.array([n.encode("utf8") for n in names], dtype="S64")
+        # NumPy sizes the fixed-width bytes dtype to the longest name (what
+        # Keras 2 writes); a hard cap would silently truncate long names.
+        return np.array([n.encode("utf8") for n in names])
 
     with h5py.File(h5_path, "w") as f:
         f.attrs["backend"] = np.asarray(b"tensorflow")

@@ -137,6 +137,37 @@ def test_native_jpeg_batch_decode_matches_pil(tmp_path):
         np.testing.assert_array_equal(g, w_)
 
 
+def test_native_jpeg_grayscale_matches_pil(tmp_path):
+    """Grayscale JPEGs must come back (H, W) — exactly what the PIL fallback
+    yields — so generator batch shapes never depend on which decode path ran
+    (transform chains handle the 2-D case via ConvertTo3Channels, like the
+    reference)."""
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from ssd_keras_tpu import native
+
+    if not native.jpeg_available():
+        pytest.skip("native jpeg decoder unavailable")
+
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 255, (56, 72), np.uint8)
+    color = rng.randint(0, 255, (56, 72, 3), np.uint8)
+    gpath = str(tmp_path / "gray.jpg")
+    cpath = str(tmp_path / "color.jpg")
+    Image.fromarray(gray, mode="L").save(gpath, quality=92)
+    Image.fromarray(color).save(cpath, quality=92)
+
+    buffers = [open(p, "rb").read() for p in (gpath, cpath)]
+    got = native.decode_jpeg_batch(buffers)
+    want = [np.array(Image.open(p)) for p in (gpath, cpath)]
+    assert got[0].shape == want[0].shape == (56, 72)
+    assert got[1].shape == want[1].shape == (56, 72, 3)
+    for g, w_ in zip(got, want):
+        np.testing.assert_array_equal(g, w_)
+
+
 def test_native_jpeg_rejects_corrupt(tmp_path):
     import numpy as np
     import pytest
