@@ -368,6 +368,37 @@ def test_pallas_nms_border_delta(border_delta):
     np.testing.assert_array_equal(got, expected)
 
 
+def test_pallas_nms_nonprefix_valid():
+    """The dynamic trip count is derived from the last valid row, not a
+    prefix-count, so arbitrary (non-prefix) valid masks — including lanes
+    with no valid candidates at all — must select exactly like the
+    reference mask."""
+    from ssd_keras_tpu.kernels.nms_pallas import greedy_nms_mask_batched
+    from ssd_keras_tpu.ops.nms import greedy_nms_mask
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(7)
+    L, K = 9, 41
+    boxes = rng.rand(L, K, 4).astype(np.float32) * 50
+    boxes[..., 2:] = boxes[..., :2] + rng.rand(L, K, 2).astype(np.float32) * 30 + 1
+    valid = rng.rand(L, K) > 0.6  # scattered, not a prefix
+    valid[3] = False  # a fully-empty lane
+    valid[5] = False
+    valid[5, K - 1] = True  # single valid candidate at the very last row
+    expected = np.asarray(
+        jax.vmap(lambda b, v: greedy_nms_mask(b, v, 0.5))(
+            jnp.asarray(boxes), jnp.asarray(valid)
+        )
+    )
+    got = np.asarray(
+        greedy_nms_mask_batched(
+            jnp.asarray(boxes), jnp.asarray(valid), 0.5, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(got, expected)
+
+
 def test_pallas_nms_lane_tiling(monkeypatch):
     """Lane counts beyond one VMEM block (COCO scale: batch x 80 classes)
     are processed by a multi-instance grid; every block must match the
