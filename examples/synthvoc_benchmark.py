@@ -173,6 +173,9 @@ def main():
             start_step = int(ckpts[-1].split("_")[1])
             print(f"Resumed from step {start_step}", flush=True)
 
+    if start_step == 0 and os.path.exists(curve_path):
+        os.remove(curve_path)  # fresh run: don't append to a previous curve
+
     has_bn = bool(trainer.state.batch_stats)
 
     def fwd(batch_x):

@@ -109,11 +109,14 @@ def _nms_kernel(bound_ref, x1_ref, y1_ref, x2_ref, y2_ref, valid_ref,
 
 
 # Lanes processed per kernel instance. Independent lanes make the grid
-# embarrassingly parallel; the block bounds VMEM residency to
-# 8 arrays x K_pad x _LANE_BLOCK x 4B (~6.5 MB at K=512) so arbitrarily
-# many (batch x class) lanes — e.g. COCO's 80 classes at batch 32 — never
-# overflow VMEM.
-_LANE_BLOCK = 512
+# embarrassingly parallel; the block bounds VMEM residency (8 arrays x
+# K_pad x _LANE_BLOCK x 4B, double-buffered windows) so arbitrarily many
+# (batch x class) lanes — e.g. COCO's 80 classes at batch 32 — never
+# overflow VMEM. 512 lanes exceeded the 16 MB scoped-VMEM limit by 12 KB
+# at K=400 once the area scratch was added (the evaluator's ~1000-lane
+# decode hit it); 256 keeps every K<=512 configuration well under the
+# limit and is what the batch-8 inference shape (160 lanes) runs anyway.
+_LANE_BLOCK = 256
 
 
 @functools.partial(
