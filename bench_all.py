@@ -80,6 +80,16 @@ def main():
                     BASELINE_FPS.get((name, batch)) if mode == "inference"
                     else None)
 
+    # --- COCO class count (81 incl. background): 4x the decode lanes ---
+    cfg_coco = SSDConfig.ssd300(n_classes=80, dataset="coco")
+    model_c, _ = ssd_300(cfg_coco, mode="inference", compute_dtype=jnp.bfloat16)
+    x8 = jnp.asarray(np.random.rand(8, 300, 300, 3).astype(np.float32) * 255)
+    v_c = jax.jit(model_c.init)(jax.random.PRNGKey(0), x8[:1])
+    r = benchmark_fps(lambda b: model_c.apply(v_c, b), x8,
+                      n_iters=n_iters, n_repeats=3)
+    add("ssd300 COCO(81 classes) inference batch 8",
+        r["ms_per_batch"], r["fps"])
+
     # --- Approx-top-k decode variant (SSD300 batch 8) ---
     from ssd_keras_tpu.decoder import decode_detections_fixed
 
