@@ -156,6 +156,32 @@ def test_ssd_predictor_end_to_end():
         np.testing.assert_allclose(d_big[:, :2], d_small[:, :2], rtol=1e-5)
 
 
+def test_ssd_predictor_compiled_cache_lru():
+    """The per-input-shape program cache is LRU-bounded: serving arbitrary
+    resolutions must not retain an unbounded number of compiled programs,
+    and eviction must not change results."""
+    from ssd_keras_tpu.predictor import SSDPredictor
+
+    cfg = SSDConfig.ssd7(n_classes=3, img_height=64, img_width=64)
+    model, _ = ssd_7(cfg, mode="inference")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    predictor = SSDPredictor(model, variables, batch_size=1,
+                             max_compiled_shapes=2)
+
+    rng = np.random.RandomState(5)
+    imgs = {s: rng.randint(0, 255, (s, s, 3), dtype=np.uint8)
+            for s in (64, 72, 80)}
+    first = predictor([imgs[64]])[0]
+    predictor([imgs[72]])
+    predictor([imgs[80]])  # evicts the (64, 64) program
+    assert len(predictor._compiled) == 2
+    assert (64, 64, "|u1") not in predictor._compiled
+    again = predictor([imgs[64]])[0]  # recompiles, same result
+    np.testing.assert_allclose(again, first, rtol=1e-5, atol=1e-5)
+    assert len(predictor._compiled) == 2
+
+
 def test_device_resize_matches_pil():
     """The fused device resample is numerically interchangeable with the
     reference workflow's PIL bilinear resize (VERDICT r1 weak #1)."""
