@@ -84,6 +84,11 @@ def main():
     p.add_argument("--compute_dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--checkpoint_dir", default="./checkpoints_ssd300")
     p.add_argument("--csv_log", default="./ssd300_training_log.csv")
+    p.add_argument("--base_lr", type=float, default=1e-3,
+                   help="peak LR; the canonical 1e-3 assumes pretrained VGG "
+                        "weights — from random init use ~1e-4 with --clipnorm")
+    p.add_argument("--clipnorm", type=float, default=None,
+                   help="global-norm gradient clipping (e.g. 5)")
     args = p.parse_args()
 
     config = SSDConfig.ssd300(n_classes=20)
@@ -141,7 +146,8 @@ def main():
 
     mesh = sh.make_mesh() if args.data_parallel else None
     sample = np.zeros((args.batch_size, 300, 300, 3), np.float32)
-    tx = T.sgd_with_momentum(learning_rate=1e-3, momentum=0.9)
+    tx = T.sgd_with_momentum(learning_rate=args.base_lr, momentum=0.9,
+                             clipnorm=args.clipnorm)
     state = T.create_train_state(model, jax.random.PRNGKey(0), sample[:1], tx, mesh=mesh)
 
     if args.weights:
@@ -155,7 +161,8 @@ def main():
 
     train_step = T.make_train_step(model, SSDLoss(), l2_reg=5e-4, mesh=mesh)
     eval_step = T.make_eval_step(model, SSDLoss())
-    trainer = T.Trainer(model, state, train_step, eval_step, mesh=mesh, base_lr=1e-3)
+    trainer = T.Trainer(model, state, train_step, eval_step, mesh=mesh,
+                        base_lr=args.base_lr)
     if args.resume:
         trainer.restore_checkpoint(args.resume)
 
@@ -172,8 +179,9 @@ def main():
         val_generator=val_generator,
         validation_steps=validation_steps,
         initial_epoch=args.initial_epoch,
-        lr_schedule=lr_schedule,
-        base_lr=1e-3,
+        # The canonical 80/100-epoch step schedule, scaled to the chosen peak.
+        lr_schedule=lambda e: lr_schedule(e) * (args.base_lr / 1e-3),
+        base_lr=args.base_lr,
     )
 
 
