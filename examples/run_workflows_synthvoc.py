@@ -50,9 +50,11 @@ def run(name, cmd, results, timeout=1800):
             timeout=timeout, cwd=os.path.dirname(EXAMPLES),
         )
         tail = "\n".join((proc.stdout + proc.stderr).strip().splitlines()[-12:])
-        # Exit code 0 with a NaN loss (TerminateOnNaN stops the loop but the
-        # script exits cleanly) is a failed workflow, not a passed one.
-        ok = proc.returncode == 0 and "loss=nan" not in tail
+        # Training scripts exit non-zero on TerminateOnNaN; the substring
+        # check over the FULL output is a backstop for any path that still
+        # exits 0 after printing a non-finite loss.
+        full = proc.stdout + proc.stderr
+        ok = proc.returncode == 0 and "loss=nan" not in full and "loss=inf" not in full
     except subprocess.TimeoutExpired:
         # A hung workflow must not discard the report for the ones that ran.
         tail = f"timed out after {timeout}s"

@@ -179,10 +179,13 @@ def main():
         val_generator=val_generator,
         validation_steps=validation_steps,
         initial_epoch=args.initial_epoch,
-        # The canonical 80/100-epoch step schedule, scaled to the chosen peak.
-        lr_schedule=lambda e: lr_schedule(e) * (args.base_lr / 1e-3),
-        base_lr=args.base_lr,
+        # schedule(e)/1e-3 is the canonical step *shape* (1 -> 0.1 -> 0.01);
+        # trainer.base_lr (= args.base_lr) scales it to the chosen peak.
+        lr_schedule=lr_schedule,
+        base_lr=1e-3,
     )
+    if trainer.terminated_on_nan:
+        raise SystemExit("training diverged (non-finite loss); exiting non-zero")
 
 
 if __name__ == "__main__":

@@ -109,6 +109,8 @@ def main():
         validation_steps=validation_steps,
     )
     print("final loss:", history["loss"][-1])
+    if trainer.terminated_on_nan:
+        raise SystemExit("training diverged (non-finite loss); exiting non-zero")
 
 
 if __name__ == "__main__":

@@ -20,8 +20,9 @@ whole working set resident in VMEM:
   small fraction of the worst-case steps. Exact regardless of whether
   ``valid`` is a prefix mask: rows past the bound are invalid in every lane,
   contribute no suppression, and stay unselected,
-* zero HBM traffic inside the loop (everything fits VMEM: 7 arrays x
-  K=512 x L<=512 f32 = ~5.7 MB at SSD300 scale).
+* zero HBM traffic inside the loop (everything fits VMEM: 8 arrays x
+  K_pad x 256-lane blocks f32 — ~3.3 MB at the SSD300 decode shape,
+  comfortably inside the 16 MB scoped-VMEM limit at any K <= 512).
 
 Equivalent semantics to ops/nms.py:greedy_nms_mask (tf.image.non_max_
 suppression selection rule); the XLA fixpoint version remains the fallback
@@ -129,7 +130,7 @@ def greedy_nms_mask_batched(
     border_delta: float = 0.0,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(L, K) bool keep mask; Pallas kernel, lanes tiled in blocks of 512."""
+    """(L, K) bool keep mask; Pallas kernel, lanes tiled in 256-lane blocks."""
     l, k = boxes.shape[0], boxes.shape[1]
     k_pad = _ceil_to(max(k, _SUBLANE), _SUBLANE)
     block = min(_LANE_BLOCK, _ceil_to(max(l, _LANE), _LANE))

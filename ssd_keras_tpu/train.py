@@ -262,10 +262,18 @@ class LearningRateScheduler(Callback):
 
 
 class TerminateOnNaN(Callback):
+    """Stop training on a non-finite loss (Keras TerminateOnNaN semantics).
+
+    Also sets ``trainer.terminated_on_nan`` so drivers can distinguish a
+    divergence stop from a legitimate EarlyStopping stop (e.g. to exit
+    non-zero from a training script).
+    """
+
     def on_epoch_end(self, epoch, logs, trainer):
         loss = logs.get("loss")
         if loss is not None and not math.isfinite(loss):
             trainer.stop_training = True
+            trainer.terminated_on_nan = True
 
 
 class EarlyStopping(Callback):
@@ -340,6 +348,7 @@ class Trainer:
         self.mesh = mesh
         self.base_lr = base_lr
         self.stop_training = False
+        self.terminated_on_nan = False
         self.lr_scale = 1.0
 
     def set_lr_scale(self, scale: float):
