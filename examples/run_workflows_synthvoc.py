@@ -142,9 +142,10 @@ def main():
             jax.random.PRNGKey(0), jnp.zeros((1, 300, 300, 3), jnp.float32))
         params = jax.device_get(variables["params"])
         if ckpts:
+            # Template-free restore: the checkpoint carries the full train
+            # state (params + opt_state + step); only params are exported.
             restored = ocp.StandardCheckpointer().restore(
-                os.path.join(ckpt_dir, ckpts[-1]),
-                {"params": params, "batch_stats": {}, "step": 0},
+                os.path.join(ckpt_dir, ckpts[-1])
             )
             params = restored["params"]
             src = ckpts[-1]
