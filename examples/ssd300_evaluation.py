@@ -8,9 +8,17 @@ Usage:
 
 import argparse
 import os
+import tempfile
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# Persist compiled executables across runs (first XLA/Mosaic compile of a
+# full model is slow, especially through a remote-compile tunnel).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(tempfile.gettempdir(), "ssd_keras_tpu_jaxcache"),
+)
 
 
 import jax

@@ -11,9 +11,17 @@ Usage:  python examples/synthetic_smoke_ssd300.py [--steps 400] [--images 16]
 
 import argparse
 import os
+import tempfile
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# Persist compiled executables across runs (first XLA/Mosaic compile of a
+# full model is slow, especially through a remote-compile tunnel).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(tempfile.gettempdir(), "ssd_keras_tpu_jaxcache"),
+)
 
 import time
 
