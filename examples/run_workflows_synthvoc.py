@@ -11,7 +11,8 @@ VOC workflow scripts consume it — and driving each script as a subprocess:
 3. ssd300_evaluation.py  (XML parser, evaluator, VOC results txt)
 4. ssd300_evaluation_coco.py (JSON parser, COCO results bridge)
 5. weight_sampling.py    (classifier-head sub-sampling -> 3-class model)
-6. ssd300_inference.py / ssd512_inference.py (detection printout)
+6. ssd300_inference.py   (detection printout; ssd512_inference.py shares
+                          the identical code path at 512x512)
 7. ssd7_training.py      (CSV parser, constant-size chain, SSD7 recipe)
 
 Writes a status table to docs/benchmarks/workflows_run.md.
