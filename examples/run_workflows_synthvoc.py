@@ -50,6 +50,15 @@ VOC_CLASSES = [
 EXAMPLES = os.path.dirname(os.path.abspath(__file__))
 
 
+def checkpoint_epoch(name):
+    """Numeric epoch from a 'ckpt_{epoch}' directory name (so ckpt_10
+    outranks ckpt_9 — lexicographic sort would pick the stale one)."""
+    try:
+        return int(name.rsplit("_", 1)[-1])
+    except ValueError:
+        return -1
+
+
 def run(name, cmd, results, timeout=1800):
     print(f"\n=== {name}: {' '.join(cmd)}", flush=True)
     t0 = time.time()
@@ -144,7 +153,10 @@ def main():
         from ssd_keras_tpu import SSDConfig, weights_io
         from ssd_keras_tpu.models import ssd_300
 
-        ckpts = sorted(os.listdir(ckpt_dir)) if os.path.isdir(ckpt_dir) else []
+        ckpts = (
+            sorted(os.listdir(ckpt_dir), key=checkpoint_epoch)
+            if os.path.isdir(ckpt_dir) else []
+        )
         config = SSDConfig.ssd300(n_classes=20)
         model, _ = ssd_300(config, mode="training")
         variables = jax.jit(model.init)(

@@ -101,24 +101,39 @@ def decode_offsets(
 # --------------------------------------------------------------------------- #
 
 
+def _resolve_auto_nms_impl():
+    """$SSD_NMS_IMPL if set, else 'pallas' only on a single-device TPU
+    process (see _nms_lanes docstring for the multi-device rationale)."""
+    import os
+
+    impl = os.environ.get("SSD_NMS_IMPL", "")
+    if impl:
+        return impl
+    if jax.default_backend() == "tpu" and len(jax.devices()) == 1:
+        return "pallas"
+    return "fixpoint"
+
+
 def _nms_lanes(lane_boxes, lane_valid, iou_threshold, nms_impl, border_delta=0.0):
     """Dispatch NMS over (L, K) lanes.
 
-    'auto' resolves to $SSD_NMS_IMPL if set; otherwise 'pallas' on TPU (the
-    VMEM-resident kernel — measured 1.0 ms faster than 'fixpoint' per SSD300
-    batch-8 decode, 8.8 -> 7.4 ms end-to-end inference) and 'fixpoint'
-    elsewhere (the Jacobi masked-any iteration, ops/nms.py:
-    greedy_nms_mask_fixpoint — portable, exact). Alternatives: 'scan'
-    (K-step lax.scan), 'blocked' (block-decomposed scan), 'pallas_interpret'
-    (the Pallas kernel interpreted, for CPU testing). All implementations
-    honor ``border_delta`` (the border_pixels convention as a width offset).
+    'auto' resolves to $SSD_NMS_IMPL if set; otherwise 'pallas' on a
+    single-device TPU process (the VMEM-resident kernel — measured 1.0 ms
+    faster than 'fixpoint' per SSD300 batch-8 decode, 8.8 -> 7.4 ms
+    end-to-end inference) and 'fixpoint' elsewhere (the Jacobi masked-any
+    iteration, ops/nms.py:greedy_nms_mask_fixpoint — portable, exact).
+    Multi-device processes get 'fixpoint' because ``pallas_call`` carries no
+    SPMD partitioning rule: under a sharded mesh the kernel would fail to
+    partition (or silently replicate the NMS); the fixpoint path is plain
+    lax ops that partition per-lane for free. $SSD_NMS_IMPL=pallas remains
+    the explicit override (e.g. inside a shard_map region). Alternatives:
+    'scan' (K-step lax.scan), 'blocked' (block-decomposed scan),
+    'pallas_interpret' (the Pallas kernel interpreted, for CPU testing).
+    All implementations honor ``border_delta`` (the border_pixels convention
+    as a width offset).
     """
     if nms_impl == "auto":
-        import os
-
-        nms_impl = os.environ.get("SSD_NMS_IMPL", "")
-        if not nms_impl:
-            nms_impl = "pallas" if jax.default_backend() == "tpu" else "fixpoint"
+        nms_impl = _resolve_auto_nms_impl()
     if nms_impl == "fixpoint":
         from ssd_keras_tpu.ops.nms import greedy_nms_mask_fixpoint
 

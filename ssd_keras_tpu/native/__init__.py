@@ -205,9 +205,12 @@ def decode_jpeg_batch(buffers, n_threads: int = 0):
     Color JPEGs yield (H, W, 3) RGB; grayscale JPEGs yield (H, W) — the same
     shapes ``np.array(PIL.Image.open(...))`` produces, so callers see
     identical batches whether this native path or the PIL fallback ran.
-    Returns None if the native library is unavailable. Individual corrupt
-    images raise ValueError. ``n_threads`` 0 = one thread per available CPU
-    (capped at the batch size).
+    Exotic component counts (4-component CMYK/YCCK, which plain libjpeg
+    cannot convert to RGB) are decoded per-image through PIL, preserving
+    PIL's shape for them ((H, W, 4) for CMYK). Returns None if the native
+    library is unavailable. Individual corrupt images raise ValueError.
+    ``n_threads`` 0 = one thread per available CPU (capped at the batch
+    size).
     """
     lib = _load_jpeg()
     if lib is None:
@@ -220,6 +223,7 @@ def decode_jpeg_batch(buffers, n_threads: int = 0):
 
     bufs = [np.frombuffer(b, dtype=np.uint8) for b in buffers]
     dims = []
+    pil_idx = []  # component counts libjpeg can't deliver as RGB
     w = ctypes.c_int()
     h = ctypes.c_int()
     c = ctypes.c_int()
@@ -230,9 +234,32 @@ def decode_jpeg_batch(buffers, n_threads: int = 0):
         )
         if rc != 0:
             raise ValueError(f"Invalid JPEG header in image {i}.")
-        # Grayscale stays (H, W) like PIL; everything else (incl. CMYK,
-        # which libjpeg converts) decodes to (H, W, 3) RGB.
+        if c.value not in (1, 3):
+            pil_idx.append(i)
+            dims.append(None)
+            continue
+        # Grayscale stays (H, W) like PIL; 3-component decodes to RGB.
         dims.append((h.value, w.value, 1 if c.value == 1 else 3))
+
+    pil_outs = {}
+    if pil_idx:
+        import io
+
+        from PIL import Image
+
+        for i in pil_idx:
+            pil_outs[i] = np.array(Image.open(io.BytesIO(buffers[i])))
+        n_native = n - len(pil_idx)
+        if n_native == 0:
+            return [pil_outs[i] for i in range(n)]
+        keep = [i for i in range(n) if dims[i] is not None]
+        bufs = [bufs[i] for i in keep]
+        dims = [dims[i] for i in keep]
+        order = keep
+        n = n_native
+        n_threads = min(n_threads, n)
+    else:
+        order = list(range(len(bufs)))
 
     outs = [
         np.empty((hh, ww) if ch == 1 else (hh, ww, ch), np.uint8)
@@ -255,8 +282,12 @@ def decode_jpeg_batch(buffers, n_threads: int = 0):
         heights, widths, channels, n_threads, status,
     )
     if failures:
-        bad = [i for i in range(n) if status[i] != 0]
+        bad = [order[i] for i in range(n) if status[i] != 0]
         raise ValueError(f"JPEG decode failed for images {bad}.")
+    if pil_outs:
+        merged = dict(zip(order, outs))
+        merged.update(pil_outs)
+        return [merged[i] for i in sorted(merged)]
     return outs
 
 

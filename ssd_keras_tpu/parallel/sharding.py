@@ -31,12 +31,17 @@ __all__ = [
 def initialize_distributed(**kwargs):
     """Per-host setup for multi-host slices (wraps jax.distributed.initialize).
 
-    No-op when running single-process (the common single-host case).
+    Idempotent: a repeated call on an already-initialized runtime is a no-op.
+    Any other failure (bad coordinator address, mismatched process ids, ...)
+    re-raises — a misconfigured multi-host launch must fail loudly rather
+    than degrade to silent single-process behavior.
     """
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return  # repeated call; keep the first initialization
+        raise
 
 
 def make_mesh(devices: Optional[Sequence] = None, axis_name: str = "data") -> Mesh:

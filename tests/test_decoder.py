@@ -462,3 +462,25 @@ def test_nms_fixpoint_fuzz():
             greedy_nms_mask_fixpoint(jnp.asarray(boxes), jnp.asarray(valid), 0.45)
         )
         np.testing.assert_array_equal(got, expected)
+
+
+def test_auto_nms_impl_avoids_pallas_on_multidevice(monkeypatch):
+    """pallas_call has no SPMD partitioning rule, so 'auto' must resolve to
+    'fixpoint' whenever the process sees more than one device (the sharded
+    decode path); $SSD_NMS_IMPL stays the explicit override."""
+    import jax
+
+    from ssd_keras_tpu.decoder import _resolve_auto_nms_impl
+
+    monkeypatch.delenv("SSD_NMS_IMPL", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(jax, "devices", lambda: [object()])
+    assert _resolve_auto_nms_impl() == "pallas"
+    monkeypatch.setattr(jax, "devices", lambda: [object()] * 8)
+    assert _resolve_auto_nms_impl() == "fixpoint"
+    monkeypatch.setenv("SSD_NMS_IMPL", "pallas")
+    assert _resolve_auto_nms_impl() == "pallas"
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    monkeypatch.delenv("SSD_NMS_IMPL")
+    monkeypatch.setattr(jax, "devices", lambda: [object()])
+    assert _resolve_auto_nms_impl() == "fixpoint"

@@ -212,3 +212,39 @@ def test_generator_batch_uses_native_jpeg(tmp_path):
     bl, be = next(gl), next(ge)
     for a, b in zip(bl[0], be[0]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_native_jpeg_cmyk_falls_back_per_image(tmp_path):
+    """4-component CMYK JPEGs can't be converted to RGB by plain libjpeg;
+    the batch decoder must route just those images through PIL (keeping
+    PIL's (H, W, 4) shape for them) while the rest decode natively."""
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from ssd_keras_tpu import native
+
+    if not native.jpeg_available():
+        pytest.skip("native jpeg decoder unavailable")
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 255, (40, 52, 3), np.uint8)
+    cmyk = rng.randint(0, 255, (36, 44, 4), np.uint8)
+    rgb_path = str(tmp_path / "rgb.jpg")
+    cmyk_path = str(tmp_path / "cmyk.jpg")
+    Image.fromarray(rgb).save(rgb_path, quality=92)
+    Image.fromarray(cmyk, mode="CMYK").save(cmyk_path, quality=92)
+
+    buffers = [open(p, "rb").read() for p in (rgb_path, cmyk_path, rgb_path)]
+    got = native.decode_jpeg_batch(buffers)
+    want = [
+        np.array(Image.open(p)) for p in (rgb_path, cmyk_path, rgb_path)
+    ]
+    assert got[1].shape == want[1].shape  # PIL's CMYK shape, (36, 44, 4)
+    for g, w_ in zip(got, want):
+        np.testing.assert_array_equal(g, w_)
+
+    # All-CMYK batch takes the pure-PIL early return.
+    got_all = native.decode_jpeg_batch([buffers[1], buffers[1]])
+    np.testing.assert_array_equal(got_all[0], want[1])
+    np.testing.assert_array_equal(got_all[1], want[1])

@@ -155,3 +155,29 @@ def test_lr_mutation_without_retrace(setup):
     trainer.set_lr_scale(0.1)
     lr = float(trainer.state.opt_state.hyperparams["learning_rate"])
     assert lr == pytest.approx(1e-4)
+
+
+def test_initialize_distributed_error_paths(monkeypatch):
+    """Idempotent on 'already initialized'; loud on real misconfiguration
+    (parallel/sharding.py — a bad multi-host launch must not silently
+    degrade to single-process behavior)."""
+    import pytest
+
+    from ssd_keras_tpu.parallel import initialize_distributed
+
+    calls = {}
+
+    def fake_initialize(**kwargs):
+        calls.update(kwargs)
+        raise RuntimeError("Distributed system is already initialized.")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_initialize)
+    initialize_distributed(num_processes=2)  # no raise
+    assert calls == {"num_processes": 2}
+
+    def bad_initialize(**kwargs):
+        raise RuntimeError("Barrier timed out: coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", bad_initialize)
+    with pytest.raises(RuntimeError, match="coordinator unreachable"):
+        initialize_distributed(coordinator_address="nowhere:1234")

@@ -55,3 +55,9 @@ def test_timeout_recorded_not_raised(driver):
                            timeout=2)
     assert not ok
     assert "timed out" in rec["tail"]
+
+
+def test_checkpoint_epoch_sorts_numerically(driver):
+    names = ["ckpt_9", "ckpt_10", "ckpt_2", "junk"]
+    assert sorted(names, key=driver.checkpoint_epoch) == [
+        "junk", "ckpt_2", "ckpt_9", "ckpt_10"]
