@@ -27,6 +27,10 @@ _KERAS_TO_FLAX = {"kernel": "kernel", "bias": "bias", "gamma": "gamma",
                   "beta": "beta", "moving_mean": "mean", "moving_variance": "var"}
 # BatchNorm statistics live in flax's `batch_stats` collection, not `params`.
 _BN_STATS = {"moving_mean", "moving_variance"}
+# Keras BatchNormalization affine params vs flax.linen.BatchNorm's names
+# (applied only to layers that have a 'scale' param — i.e. real BatchNorms).
+_KERAS_BN_TO_FLAX = {"gamma": "scale", "beta": "bias"}
+_FLAX_BN_TO_KERAS = {"scale": "gamma", "bias": "beta"}
 
 
 def _layer_groups(f):
@@ -118,6 +122,19 @@ def load_keras_h5_weights(
                     # stats is the documented semantics, not a porting bug.
                     continue
                 dest = target_s if key in _BN_STATS else target_p
+                if (
+                    dest is not None
+                    and flax_key not in dest
+                    and key in _KERAS_BN_TO_FLAX
+                    and target_p is not None
+                    and "scale" in target_p
+                ):
+                    # Keras BatchNormalization names its affine parameters
+                    # gamma/beta; flax.linen.BatchNorm calls them
+                    # scale/bias. Only remap when the layer actually is a
+                    # BatchNorm (has 'scale') so L2Normalization's real
+                    # 'gamma' parameter keeps its name.
+                    flax_key = _KERAS_BN_TO_FLAX[key]
                 if dest is None or flax_key not in dest:
                     unconsumed.append(f"{name}/{ds_name}")
                     continue
@@ -186,9 +203,14 @@ def save_keras_h5_weights(
                 weight_names.append(wname)
             else:
                 inner = g.create_group(name)
+                is_batchnorm = "scale" in tensors
                 for key in list(tensors) + list(stats):
                     value = tensors.get(key) if key in tensors else stats[key]
-                    keras_key = inv.get(key, key)
+                    if is_batchnorm and key in _FLAX_BN_TO_KERAS:
+                        # flax BatchNorm scale/bias -> Keras gamma/beta.
+                        keras_key = _FLAX_BN_TO_KERAS[key]
+                    else:
+                        keras_key = inv.get(key, key)
                     inner.create_dataset(
                         f"{keras_key}:0", data=np.asarray(value)
                     )
