@@ -82,7 +82,17 @@ def main():
         from pycocotools.coco import COCO
         from pycocotools.cocoeval import COCOeval
     except ImportError:
-        print("pycocotools not installed; results JSON written, eval skipped.")
+        # Score with the vendored metric so the workflow always ends in an
+        # executed evaluation, not just a results file (cocoeval.py mirrors
+        # the COCOeval protocol: ssd300_evaluation_COCO.ipynb cells 13-16).
+        from ssd_keras_tpu.eval import COCOEvalBBox
+
+        print("pycocotools not installed; scoring with the vendored "
+              "COCO bbox metric.")
+        ev = COCOEvalBBox(args.annotations, args.out_file)
+        metrics = ev.evaluate()
+        ev.summarize()
+        print(f"COCO AP={metrics['AP']:.4f} AP50={metrics['AP50']:.4f}")
         return
 
     coco_gt = COCO(args.annotations)

@@ -149,3 +149,84 @@ def test_predict_all_to_json_training_mode_decodes(tmp_path, annotations_file):
     for r in results:
         assert r["category_id"] == 1  # class 1 -> COCO id 1 ('person')
         assert 0.0 <= r["bbox"][0] <= 48.0
+
+
+def test_bridge_json_scores_through_vendored_metric(tmp_path, annotations_file):
+    """End-to-end: predict_all_to_json output fed to the vendored COCO
+    metric. A stub model that reproduces the GT boxes exactly must score
+    AP 1.0; jittering one box below IoU 0.5 must drop it."""
+    from PIL import Image
+
+    from ssd_keras_tpu.data.datasets import DataGenerator
+    from ssd_keras_tpu.eval import COCOEvalBBox
+
+    rng = np.random.RandomState(1)
+    img_h = img_w = 48
+    files = []
+    for i in range(2):
+        path = str(tmp_path / f"m{i}.png")
+        Image.fromarray(rng.randint(0, 255, (img_h, img_w, 3), np.uint8)).save(path)
+        files.append(path)
+    # GT: one box per image, class 2 -> COCO category 18. Model-frame ==
+    # original-frame (same size) so no inverse-transform scaling.
+    gt_boxes = [(6.0, 8.0, 30.0, 28.0), (10.0, 4.0, 24.0, 36.0)]  # xywh
+    labels = [
+        np.array([[2, x, y, x + w, y + h]], np.float32)
+        for (x, y, w, h) in gt_boxes
+    ]
+    gen = DataGenerator(filenames=files, labels=labels,
+                        load_images_into_memory=True,
+                        image_ids=[7, 8], verbose=False)
+    ann = json.loads(open(annotations_file).read())
+    ann["images"] = [{"id": 7}, {"id": 8}]
+    ann["annotations"] = [
+        {"id": k + 1, "image_id": 7 + k, "category_id": 18,
+         "bbox": list(gt_boxes[k])}
+        for k in range(2)
+    ]
+    gt_file = tmp_path / "gt.json"
+    gt_file.write_text(json.dumps(ann))
+
+    classes_to_cats = get_coco_category_maps(annotations_file)[1]
+
+    def exact_model(batch_x):
+        out = np.zeros((batch_x.shape[0], 4, 6), np.float32)
+        for b in range(batch_x.shape[0]):
+            x, y, w, h = gt_boxes[exact_model.seen + b]
+            out[b, 0] = [2, 0.9, x, y, x + w, y + h]
+        exact_model.seen += batch_x.shape[0]
+        return out
+
+    exact_model.seen = 0
+    predict_all_to_json(
+        str(tmp_path / "res.json"), exact_model, img_h, img_w,
+        classes_to_cats, gen, batch_size=2, model_mode="inference",
+        verbose=False,
+    )
+    m = COCOEvalBBox(str(gt_file), str(tmp_path / "res.json")).evaluate()
+    assert m["AP"] == pytest.approx(1.0)
+    assert m["AP50"] == pytest.approx(1.0)
+
+    # Degrade one detection to IoU < 0.5: AP50 averages {1.0 class-wise
+    # recall hit}: one TP + one FP out of 2 GT -> AP50 = 0.5 * (1 + 0)?
+    # Precisely: dets scored equally, one matches, one misses ->
+    # precision envelope gives AP50 ~ 0.5.
+    def off_model(batch_x):
+        out = np.zeros((batch_x.shape[0], 4, 6), np.float32)
+        for b in range(batch_x.shape[0]):
+            x, y, w, h = gt_boxes[off_model.seen + b]
+            if off_model.seen + b == 1:
+                x += w  # shifted fully off the GT
+            out[b, 0] = [2, 0.9, x, y, x + w, y + h]
+        off_model.seen += batch_x.shape[0]
+        return out
+
+    off_model.seen = 0
+    predict_all_to_json(
+        str(tmp_path / "res2.json"), off_model, img_h, img_w,
+        classes_to_cats, gen, batch_size=2, model_mode="inference",
+        verbose=False,
+    )
+    m2 = COCOEvalBBox(str(gt_file), str(tmp_path / "res2.json")).evaluate()
+    assert m2["AP50"] < 1.0
+    assert m2["AR100"] == pytest.approx(0.5)
