@@ -79,7 +79,7 @@ def main():
     # measure steady-state throughput, not jit compilation.
     from ssd_keras_tpu.decoder import decode_detections_fixed
 
-    warm = jnp.asarray(images[: args.batch].astype(np.float32))
+    warm = jnp.asarray(images[: args.batch].astype(np.uint8))
     y_warm = fwd(warm)
     # Must match the evaluator's decode args exactly (border 'include' is
     # its default) or the timed pass pays the jit compile.
@@ -88,10 +88,22 @@ def main():
                                 border_pixels="include")
     )
 
+    # Upload uint8: SynthVOC pixels are integral and the resize here is the
+    # identity, so casting is lossless and cuts H2D bytes 4x — through the
+    # tunnel the upload is the shared throughput floor for BOTH paths.
+    def run_model(x):
+        return fwd(jnp.asarray(np.asarray(x).astype(np.uint8)))
+
     results = {}
     for device_decode in (True, False):
-        ev = Evaluator(lambda x: fwd(jnp.asarray(x)), n_classes, gen,
-                       model_mode="training")
+        ev = Evaluator(run_model, n_classes, gen, model_mode="training")
+        # Pass 1 warms every compiled program in the loop (forward at the
+        # evaluator's exact shapes/dtypes + the fixed decode); pass 2 is the
+        # steady-state measurement.
+        ev.predict_on_dataset(
+            img_height=300, img_width=300, batch_size=args.batch,
+            device_decode=device_decode, verbose=False,
+        )
         t0 = time.time()
         ev.predict_on_dataset(
             img_height=300, img_width=300, batch_size=args.batch,

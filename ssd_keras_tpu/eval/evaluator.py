@@ -208,34 +208,32 @@ class Evaluator:
                 batches = trange(n_batches, desc="Producing predictions batch-wise")
             except ImportError:
                 pass
-        for _ in batches:
-            (batch_X, batch_image_ids, batch_eval_neutral,
-             batch_inverse_transforms, batch_orig_labels) = next(generator)
-            # Keep the model output wherever it lives (device for a jitted
-            # apply): the raw (B, #boxes, C+12) tensor is large, and pulling
-            # it to host just to re-upload for decoding costs more than the
-            # whole forward pass. Only decoded detections cross the boundary.
-            y_pred = self.model(batch_X)
-            if self.model_mode == "training" and device_decode:
-                from ssd_keras_tpu.decoder import decode_detections_fixed
+        # Pipelined dispatch/drain: dispatching the (jitted) forward and the
+        # on-device decode is asynchronous, so the device computes batch N
+        # while the host generator loads/resizes batch N+1 and while N-1's
+        # small (B, top_k, 6) result crosses back. The per-batch
+        # ``np.asarray`` sync that used to sit inside the loop serialized
+        # host prep, dispatch latency, and device compute end-to-end —
+        # measured 11.6 img/s device vs 22.8 host on 320 crowded images;
+        # pipelining is what makes the device path the fast default.
+        # Device-decoded results are tiny, so in-flight depth is bounded
+        # only for the paths that keep the raw (B, #boxes, C+12) tensor.
+        from collections import deque
 
-                decoded = np.asarray(
-                    decode_detections_fixed(
-                        y_pred,
-                        confidence_thresh=decoding_confidence_thresh,
-                        iou_threshold=decoding_iou_threshold,
-                        top_k=decoding_top_k,
-                        input_coords=decoding_pred_coords,
-                        normalize_coords=decoding_normalize_coords,
-                        img_height=img_height,
-                        img_width=img_width,
-                        border_pixels=decoding_border_pixels,
-                    )
-                )
+        max_in_flight = (
+            64 if (self.model_mode == "training" and device_decode) else 4
+        )
+        pending = deque()
+
+        def _drain_one():
+            y_dev, meta = pending.popleft()
+            batch_image_ids, batch_inverse_transforms = meta
+            if self.model_mode == "training" and device_decode:
+                decoded = np.asarray(y_dev)
                 y_pred = [item[item[:, 0] != 0] for item in decoded]
             elif self.model_mode == "training":
                 y_pred = decode_detections(
-                    np.asarray(y_pred),
+                    np.asarray(y_dev),
                     confidence_thresh=decoding_confidence_thresh,
                     iou_threshold=decoding_iou_threshold,
                     top_k=decoding_top_k,
@@ -247,7 +245,7 @@ class Evaluator:
                 )
             else:
                 # Decoded in-graph: drop all-zero padding rows.
-                y_pred = np.asarray(y_pred)
+                y_pred = np.asarray(y_dev)
                 y_pred = [item[item[:, 0] != 0] for item in y_pred]
             y_pred = apply_inverse_transforms(y_pred, batch_inverse_transforms)
 
@@ -267,6 +265,34 @@ class Evaluator:
                             round(float(box[pf["ymax"]]), 1),
                         )
                     )
+
+        for _ in batches:
+            (batch_X, batch_image_ids, batch_eval_neutral,
+             batch_inverse_transforms, batch_orig_labels) = next(generator)
+            # Keep the model output wherever it lives (device for a jitted
+            # apply): the raw (B, #boxes, C+12) tensor is large, and pulling
+            # it to host just to re-upload for decoding costs more than the
+            # whole forward pass. Only decoded detections cross the boundary.
+            y_pred = self.model(batch_X)
+            if self.model_mode == "training" and device_decode:
+                from ssd_keras_tpu.decoder import decode_detections_fixed
+
+                y_pred = decode_detections_fixed(
+                    y_pred,
+                    confidence_thresh=decoding_confidence_thresh,
+                    iou_threshold=decoding_iou_threshold,
+                    top_k=decoding_top_k,
+                    input_coords=decoding_pred_coords,
+                    normalize_coords=decoding_normalize_coords,
+                    img_height=img_height,
+                    img_width=img_width,
+                    border_pixels=decoding_border_pixels,
+                )
+            pending.append((y_pred, (batch_image_ids, batch_inverse_transforms)))
+            if len(pending) >= max_in_flight:
+                _drain_one()
+        while pending:
+            _drain_one()
 
         self.prediction_results = results
         if ret:

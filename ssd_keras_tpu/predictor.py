@@ -139,6 +139,24 @@ class SSDPredictor:
         outputs: List[np.ndarray] = [None] * len(images)
         for (ih, iw, _), (idxs, arrs) in groups.items():
             run = self._fused_run(ih, iw, arrs[0].dtype)
+            # Double-buffered uploads: ``jax.device_put`` and the jitted
+            # forward both dispatch asynchronously, so chunk N+1's host
+            # stacking and H2D transfer proceed while chunk N computes and
+            # while N-1's small decoded result returns. The only syncs are
+            # the drains. With a slow host->device link the transfer is the
+            # throughput floor (see docs/benchmarks/h2d_ceiling.md); the
+            # pipeline keeps compute and both transfer directions inside
+            # that floor instead of adding to it.
+            from collections import deque
+
+            pending = deque()  # (chunk_start, n_valid, device_out)
+
+            def _drain_one():
+                start, n, out = pending.popleft()
+                dets = np.asarray(out)
+                for j in range(n):
+                    outputs[idxs[start + j]] = dets[j]
+
             for start in range(0, len(arrs), self.batch_size):
                 chunk = arrs[start : start + self.batch_size]
                 n = len(chunk)
@@ -146,9 +164,12 @@ class SSDPredictor:
                     chunk = chunk + [np.zeros_like(chunk[0])] * (
                         self.batch_size - n
                     )
-                dets = np.asarray(run(self.variables, jnp.asarray(np.stack(chunk))))
-                for j in range(n):
-                    outputs[idxs[start + j]] = dets[j]
+                dev_in = jax.device_put(np.stack(chunk))
+                pending.append((start, n, run(self.variables, dev_in)))
+                if len(pending) > 2:
+                    _drain_one()
+            while pending:
+                _drain_one()
 
         results = []
         for dets, (sx, sy) in zip(outputs, scales):
