@@ -65,7 +65,10 @@ def main():
     ):
         for mode in ("inference", "inference_fast"):
             model, _ = builder(cfg, mode=mode, compute_dtype=jnp.bfloat16)
-            for batch in (1, 8):
+            # Batch 32 for the flagship: the serving sweet spot where decode
+            # amortizes (see docs/benchmarks/profile.md).
+            batches = (1, 8, 32) if (name, mode) == ("ssd300", "inference") else (1, 8)
+            for batch in batches:
                 x = jnp.asarray(
                     np.random.rand(batch, cfg.img_height, cfg.img_width, 3)
                     .astype(np.float32) * 255

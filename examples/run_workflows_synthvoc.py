@@ -59,7 +59,94 @@ def checkpoint_epoch(name):
         return -1
 
 
-def run(name, cmd, results, timeout=1800):
+def check_eval_map(floor):
+    """Full-scale floor: the printed VOC mAP must clear ``floor`` — a
+    broken model (bad weights, bad decode, bad data) scores ~0 here."""
+    import re
+
+    def check(full):
+        m = re.search(r"^mAP\s+([0-9.]+)", full, re.M)
+        if not m:
+            return "no mAP line in output"
+        if float(m.group(1)) < floor:
+            return f"mAP {m.group(1)} below floor {floor}"
+        return None
+
+    return check
+
+
+def check_coco_ap(floor):
+    """Full-scale floor on the executed COCO metric (vendored or real)."""
+    import re
+
+    def check(full):
+        m = re.search(r"COCO AP=([0-9.]+)", full)
+        if m is None:
+            # pycocotools path prints the standard summary block instead.
+            m = re.search(r"Average Precision.*IoU=0.50:0.95.*area=\s*all.*"
+                          r"=\s*([0-9.-]+)", full)
+        if not m:
+            return "no COCO AP in output"
+        if float(m.group(1)) < floor:
+            return f"COCO AP {m.group(1)} below floor {floor}"
+        return None
+
+    return check
+
+
+def check_inference_boxes(frame_w=300, frame_h=300, margin=30):
+    """Full-scale sanity: printed detections must exist, be finite, be
+    non-degenerate, and lie in the image frame (the quick-scale record once
+    showed 'ok' boxes at coordinate -206926032.0)."""
+    import re
+
+    def check(full):
+        rows = re.findall(
+            r"^\s{3}\S+\s+[0-9.]+\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)"
+            r"\s+(-?[\d.]+)\s*$", full, re.M)
+        if not rows:
+            return "no detections printed"
+        for row in rows:
+            try:
+                x0, y0, x1, y1 = (float(v) for v in row)
+            except ValueError:
+                return f"non-numeric box row: {row}"
+            if not all(np.isfinite([x0, y0, x1, y1])):
+                return f"non-finite box: {row}"
+            if x0 >= x1 or y0 >= y1:
+                return f"degenerate box: {row}"
+            if (min(x0, y0) < -margin or x1 > frame_w + margin
+                    or y1 > frame_h + margin):
+                return f"box outside frame: {row}"
+        return None
+
+    return check
+
+
+def check_training_loss_decreased(csv_path, factor=0.8):
+    """Full-scale floor: the CSV log's last-epoch loss must be below
+    ``factor`` x its first-epoch loss."""
+
+    def check(full):
+        import csv
+
+        if not os.path.exists(csv_path):
+            return f"no CSV log at {csv_path}"
+        with open(csv_path) as f:
+            rows = list(csv.DictReader(f))
+        if not rows:
+            return "empty CSV log"
+        first, last = float(rows[0]["loss"]), float(rows[-1]["loss"])
+        if not (np.isfinite(first) and np.isfinite(last)):
+            return f"non-finite loss in CSV log ({first}, {last})"
+        if last > first * factor:
+            return f"loss did not decrease: {first:.3f} -> {last:.3f}"
+        return None
+
+    return check
+
+
+def run(name, cmd, results, timeout=1800, check=None):
     print(f"\n=== {name}: {' '.join(cmd)}", flush=True)
     t0 = time.time()
     try:
@@ -73,6 +160,14 @@ def run(name, cmd, results, timeout=1800):
         # exits 0 after printing a non-finite loss.
         full = proc.stdout + proc.stderr
         ok = proc.returncode == 0 and "loss=nan" not in full and "loss=inf" not in full
+        if ok and check is not None:
+            # Output floors (full scale): rc==0 alone cannot catch a model
+            # that runs but produces garbage.
+            err = check(full)
+            if err:
+                ok = False
+                tail += f"\nFLOOR CHECK FAILED: {err}"
+                print(f"FLOOR CHECK FAILED: {err}", flush=True)
     except subprocess.TimeoutExpired:
         # A hung workflow must not discard the report for the ones that ran.
         tail = f"timed out after {timeout}s"
@@ -94,8 +189,12 @@ def main():
     args = p.parse_args()
 
     quick = args.scale == "quick"
-    n_train, n_train12, n_val = (24, 8, 16) if quick else (192, 64, 96)
-    steps, epochs, batch = (6, 1, 4) if quick else (100, 2, 16)
+    # Full scale is sized so a *working* model clears the output floors with
+    # margin (2x2000 steps batch 32 with LR warmup reaches ~0.3 val mAP from
+    # random init — cf. docs/benchmarks/synthvoc_ssd300_curve.jsonl, 0.27 at
+    # 4000 steps on 4000 images) while a broken one fails them.
+    n_train, n_train12, n_val = (24, 8, 16) if quick else (1200, 400, 320)
+    steps, epochs, batch = (6, 1, 4) if quick else (2000, 2, 32)
 
     from ssd_keras_tpu.data.synthvoc import SynthVOC
 
@@ -135,14 +234,25 @@ def main():
     # From random init the canonical lr 1e-3 diverges (the reference starts
     # from pretrained VGG), so the workflow check trains at the stable
     # from-scratch recipe: lr 1e-4 + gradient clipping.
-    run("ssd300_training", [
+    train_cmd = [
         os.path.join(EXAMPLES, "ssd300_training.py"),
         "--voc_root", voc_root, "--epochs", str(epochs),
         "--steps_per_epoch", str(steps), "--batch_size", str(batch),
-        "--base_lr", "1e-4", "--clipnorm", "5",
+        "--clipnorm", "5",
         "--checkpoint_dir", ckpt_dir,
         "--csv_log", os.path.join(root, "ssd300_log.csv"),
-    ], results)
+    ]
+    if quick:
+        train_cmd += ["--base_lr", "1e-4"]
+    else:
+        # The benchmark recipe: warmup to the canonical peak + the fused
+        # device augmentation pipeline (the host chain is certified by the
+        # quick-scale run and the unit suite).
+        train_cmd += ["--base_lr", "1e-3", "--warmup", "1000",
+                      "--device_pipeline"]
+    run("ssd300_training", train_cmd, results, timeout=5400,
+        check=None if quick else check_training_loss_decreased(
+            os.path.join(root, "ssd300_log.csv")))
 
     # 2. Export the trained checkpoint as a Keras-layout .h5.
     def export_h5():
@@ -194,7 +304,7 @@ def main():
         "--mode", "training" if quick else "inference",
         "--batch_size", str(batch),
         "--write_results", os.path.join(root, "voc_results_"),
-    ], results)
+    ], results, check=None if quick else check_eval_map(0.2))
 
     # 4. COCO evaluation workflow (results JSON via the category-map bridge).
     run("ssd300_evaluation_coco", [
@@ -204,7 +314,7 @@ def main():
         "--weights", h5_path, "--n_classes", "20",
         "--batch_size", str(batch),
         "--out_file", os.path.join(root, "coco_results.json"),
-    ], results)
+    ], results, check=None if quick else check_coco_ap(0.08))
 
     # 5. Weight-sampling workflow: 21 -> 4 class heads, then load-check.
     sampled = os.path.join(root, "ssd300_3classes.h5")
@@ -245,7 +355,7 @@ def main():
     run("ssd300_inference", [
         os.path.join(EXAMPLES, "ssd300_inference.py"), *sample_imgs,
         "--weights", h5_path, "--confidence", "0.25",
-    ], results)
+    ], results, check=None if quick else check_inference_boxes())
     if not quick:
         run("ssd512_inference", [
             os.path.join(EXAMPLES, "ssd512_inference.py"), sample_imgs[0],

@@ -97,6 +97,11 @@ def main():
                         "weights — from random init use ~1e-4 with --clipnorm")
     p.add_argument("--clipnorm", type=float, default=None,
                    help="global-norm gradient clipping (e.g. 5)")
+    p.add_argument("--warmup", type=int, default=0,
+                   help="linear LR warmup steps to base_lr — the stable "
+                        "from-random-init stand-in for the reference's "
+                        "pretrained-VGG start (synthvoc_benchmark.py uses "
+                        "the same recipe)")
     args = p.parse_args()
 
     config = SSDConfig.ssd300(n_classes=20)
@@ -154,7 +159,18 @@ def main():
 
     mesh = sh.make_mesh() if args.data_parallel else None
     sample = np.zeros((args.batch_size, 300, 300, 3), np.float32)
-    tx = T.sgd_with_momentum(learning_rate=args.base_lr, momentum=0.9,
+    if args.warmup > 0:
+        import optax
+
+        lr = optax.join_schedules(
+            [optax.linear_schedule(args.base_lr * 0.01, args.base_lr,
+                                   args.warmup),
+             optax.constant_schedule(args.base_lr)],
+            boundaries=[args.warmup],
+        )
+    else:
+        lr = args.base_lr
+    tx = T.sgd_with_momentum(learning_rate=lr, momentum=0.9,
                              clipnorm=args.clipnorm)
     state = T.create_train_state(model, jax.random.PRNGKey(0), sample[:1], tx, mesh=mesh)
 
