@@ -103,7 +103,10 @@ def main():
         key = jax.random.PRNGKey(args.seed + 1)  # same batch/aug sequence
         losses = []
         t0 = time.time()
+        timed_from = min(50, args.steps - 1)  # exclude jit compiles
         for step in range(args.steps):
+            if step == timed_from:
+                t0 = time.time()
             key, k1, k2 = jax.random.split(key, 3)
             idx = jax.random.choice(k1, args.train_images, (args.batch,),
                                     replace=True)
@@ -129,12 +132,13 @@ def main():
         ev = Evaluator(fwd, n_classes, val_gen, model_mode="training")
         mean_ap = float(ev(img_height=300, img_width=300,
                            batch_size=args.batch, verbose=False))
+        timed_steps = args.steps - timed_from
         runs[dtype_name] = {
             "losses": losses,
             "final_loss": losses[-1]["loss"],
             "val_mAP_sample": round(mean_ap, 4),
             "train_seconds": round(seconds, 1),
-            "img_per_s": round(args.steps * args.batch / seconds, 1),
+            "img_per_s": round(timed_steps * args.batch / seconds, 1),
         }
         print(f"[{dtype_name}] mAP {mean_ap:.4f}  "
               f"{runs[dtype_name]['img_per_s']} img/s", flush=True)
