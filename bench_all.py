@@ -65,9 +65,15 @@ def main():
     ):
         for mode in ("inference", "inference_fast"):
             model, _ = builder(cfg, mode=mode, compute_dtype=jnp.bfloat16)
-            # Batch 32 for the flagship: the serving sweet spot where decode
-            # amortizes (see docs/benchmarks/profile.md).
-            batches = (1, 8, 32) if (name, mode) == ("ssd300", "inference") else (1, 8)
+            # Batch 32 for ssd300 (the flagship serving sweet spot where
+            # decode amortizes — see docs/benchmarks/profile.md) and ssd7
+            # (compute-bound at tiny channel counts; larger batches fill
+            # the MXU the 32-128-channel convs under-utilize at batch 8).
+            batches = (
+                (1, 8, 32)
+                if mode == "inference" and name in ("ssd300", "ssd7")
+                else (1, 8)
+            )
             for batch in batches:
                 x = jnp.asarray(
                     np.random.rand(batch, cfg.img_height, cfg.img_width, 3)

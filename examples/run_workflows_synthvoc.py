@@ -136,7 +136,10 @@ def check_training_loss_decreased(csv_path, factor=0.8):
             rows = list(csv.DictReader(f))
         if not rows:
             return "empty CSV log"
-        first, last = float(rows[0]["loss"]), float(rows[-1]["loss"])
+        try:
+            first, last = float(rows[0]["loss"]), float(rows[-1]["loss"])
+        except (KeyError, TypeError, ValueError) as e:
+            return f"unparseable CSV log ({type(e).__name__}: {e})"
         if not (np.isfinite(first) and np.isfinite(last)):
             return f"non-finite loss in CSV log ({first}, {last})"
         if last > first * factor:
@@ -229,6 +232,18 @@ def main():
     results = []
     h5_path = os.path.join(root, "ssd300_trained.h5")
     ckpt_dir = os.path.join(root, "ckpt300")
+
+    # A re-run against an existing --root must not inherit per-run outputs:
+    # a stale checkpoint would mask a failed training in the h5 export, and
+    # a stale CSV log would poison the loss-decrease floor check.
+    import shutil
+
+    for stale in (ckpt_dir, os.path.join(root, "ckpt7")):
+        shutil.rmtree(stale, ignore_errors=True)
+    for stale in (h5_path, os.path.join(root, "ssd300_log.csv"),
+                  os.path.join(root, "ssd7_log.csv")):
+        if os.path.exists(stale):
+            os.remove(stale)
 
     # 1. SSD300 training workflow (host chain + callbacks + checkpointing).
     # From random init the canonical lr 1e-3 diverges (the reference starts

@@ -228,7 +228,10 @@ class ModelCheckpoint(Callback):
 
 
 class CSVLogger(Callback):
-    """Append per-epoch metrics to a CSV file."""
+    """Per-epoch metrics to a CSV file (Keras semantics: ``append=False``
+    truncates any existing file at the first write, ``append=True`` continues
+    it — a resumed training keeps one contiguous log, a fresh run never
+    inherits rows from a previous one)."""
 
     def __init__(self, filename, append=False):
         self.filename = filename
@@ -237,7 +240,8 @@ class CSVLogger(Callback):
     def on_epoch_end(self, epoch, logs, trainer):
         fields = ["epoch"] + sorted(logs)
         write_header = not self._initialized
-        with open(self.filename, "a", newline="") as f:
+        mode = "a" if self._initialized else "w"
+        with open(self.filename, mode, newline="") as f:
             writer = csv.DictWriter(f, fieldnames=fields)
             if write_header:
                 writer.writeheader()

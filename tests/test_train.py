@@ -61,6 +61,34 @@ def test_fit_generator_runs_and_logs(setup, tmp_path):
     assert len(lines) == 3
 
 
+def test_csv_logger_append_semantics(setup, tmp_path):
+    """Keras CSVLogger contract: append=False truncates a pre-existing file
+    (a fresh run must not inherit rows from a previous one — a stale log once
+    poisoned the workflow driver's loss-decrease check); append=True
+    continues it without rewriting the header."""
+    cfg, model, gen = setup
+    csv_path = str(tmp_path / "log.csv")
+    with open(csv_path, "w") as f:
+        f.write("epoch,loss,val_loss\n0,nan,nan\n")
+
+    trainer = _make_trainer(model, gen)
+    trainer.fit_generator(
+        gen(), steps_per_epoch=1, epochs=1, verbose=False,
+        callbacks=[T.CSVLogger(csv_path, append=False)],
+    )
+    lines = open(csv_path).read().strip().splitlines()
+    assert lines[0] == "epoch,loss"
+    assert len(lines) == 2 and "nan" not in lines[1]
+
+    trainer.fit_generator(
+        gen(), steps_per_epoch=1, epochs=1, verbose=False,
+        callbacks=[T.CSVLogger(csv_path, append=True)],
+    )
+    lines = open(csv_path).read().strip().splitlines()
+    assert lines.count("epoch,loss") == 1
+    assert len(lines) == 3
+
+
 def test_lr_scheduler_callback(setup):
     cfg, model, gen = setup
     trainer = _make_trainer(model, gen)

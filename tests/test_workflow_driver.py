@@ -108,3 +108,8 @@ def test_check_training_loss_decreased(driver, tmp_path):
         w.writerow({"epoch": 1, "loss": 17.5})
     assert "did not decrease" in driver.check_training_loss_decreased(str(path))("")
     assert "no CSV log" in driver.check_training_loss_decreased("/nope.csv")("")
+    # A log polluted by a second run's repeated header (pre-fix CSVLogger
+    # appended to stale files) must report, not raise.
+    with open(path, "w") as f:
+        f.write("epoch,loss\n0,18.0\n1,9.0\nepoch,loss\n")
+    assert "unparseable" in driver.check_training_loss_decreased(str(path))("")
