@@ -377,16 +377,23 @@ def main():
             "--n_classes", "20", "--confidence", "0.99",
         ], results)
 
-    # 7. SSD7 training workflow (CSV parser + constant-size chain).
+    # 7. SSD7 training workflow (CSV parser + constant-size chain). This one
+    # deliberately exercises the HOST augmentation chain end-to-end, so at
+    # full scale it gets a step count the streamed host pipeline can sustain
+    # through this environment's host->device link (the chain itself is
+    # scale-invariant — quick vs full only changes how far the loss moves,
+    # which the floor below checks).
+    steps7 = steps if quick else 250
     run("ssd7_training", [
         os.path.join(EXAMPLES, "ssd7_training.py"),
         "--images_dir", img_dir07, "--train_labels", csv_path,
         "--img_height", "300", "--img_width", "300", "--n_classes", "20",
-        "--epochs", str(epochs), "--steps_per_epoch", str(steps),
+        "--epochs", str(epochs), "--steps_per_epoch", str(steps7),
         "--batch_size", str(min(batch, 8)),
         "--checkpoint_dir", os.path.join(root, "ckpt7"),
         "--csv_log", os.path.join(root, "ssd7_log.csv"),
-    ], results)
+    ], results, check=None if quick else check_training_loss_decreased(
+        os.path.join(root, "ssd7_log.csv")))
 
     # Report.
     os.makedirs(os.path.dirname(args.out), exist_ok=True)

@@ -97,6 +97,10 @@ def main():
                         "weights — from random init use ~1e-4 with --clipnorm")
     p.add_argument("--clipnorm", type=float, default=None,
                    help="global-norm gradient clipping (e.g. 5)")
+    p.add_argument("--hbm_dataset_gb", type=float, default=6.0,
+                   help="--device_pipeline keeps the decoded uint8 train "
+                        "split resident in HBM; abort if it would exceed "
+                        "this budget (VOC 07+12 trainval is ~4.4 GiB)")
     p.add_argument("--warmup", type=int, default=0,
                    help="linear LR warmup steps to base_lr — the stable "
                         "from-random-init stand-in for the reference's "
@@ -118,41 +122,77 @@ def main():
     print(f"train: {train_ds.get_dataset_size()}  val: {val_ds.get_dataset_size()}")
 
     if args.device_pipeline:
-        # Host: decode + fixed-size resize only. Device: augment + encode.
+        # Host: decode + fixed-size resize, ONCE per image. Device: everything
+        # else (augment + encode + train). Pascal-scale datasets fit in HBM
+        # as uint8 (VOC 07+12 trainval: 16.5k images x 264 KB = 4.4 GB of a
+        # 16 GB chip), so the dataset is uploaded once and batches are
+        # gathered on-device — after warmup an epoch moves ZERO image bytes
+        # over the host->device link. That link is the binding constraint
+        # here (~10-40 MB/s through the access tunnel, vs ~8.6 MB of pixels
+        # per batch-32 step for a streamed pipeline); on directly-attached
+        # hosts the same design just removes the per-step host work.
         device_aug = DeviceSSDAugmentation(300, 300)
-        raw_gen = train_ds.generate(
-            batch_size=args.batch_size,
-            shuffle=True,
-            transformations=[ConvertTo3Channels(), Resize(300, 300)],
-            label_encoder=None,
-            returns=["processed_images", "processed_labels"],
-        )
 
-        def host_side():
-            # Host prep on a prefetch thread: JPEG decode + resize + label
-            # padding overlap the device step. Pixels upload as uint8 —
-            # 4x fewer bytes than float32, which matters when the TPU sits
-            # behind a slow host->device link (the augmentation chain casts
-            # to float on device; sub-integer resample residue is far below
-            # the chain's own photometric jitter).
-            while True:
-                images, labels = next(raw_gen)
-                padded, counts = pad_labels(labels, encoder.max_gt_boxes)
-                yield (
-                    np.clip(np.asarray(images), 0, 255).astype(np.uint8),
-                    padded, counts,
-                )
+        def materialize_split(ds, batch=64):
+            """One ordered host pass: decoded+resized uint8 images and
+            fixed-shape padded labels for the whole split."""
+            n = ds.get_dataset_size()
+            gen = ds.generate(
+                batch_size=batch,
+                shuffle=False,
+                transformations=[ConvertTo3Channels(), Resize(300, 300)],
+                label_encoder=None,
+                returns=["processed_images", "processed_labels"],
+                keep_images_without_gt=True,
+            )
+            images, labels = [], []
+            while len(labels) < n:
+                a, b = next(gen)
+                images.append(np.clip(np.asarray(a), 0, 255).astype(np.uint8))
+                labels.extend(b)
+            padded, counts = pad_labels(labels[:n], encoder.max_gt_boxes)
+            return np.concatenate(images)[:n], padded, counts
 
-        from ssd_keras_tpu.data.prefetch import prefetch
+        def to_device_chunked(arr, chunk=256):
+            """Upload in bounded chunks (one giant transfer would buffer the
+            whole array twice on the host side of the link)."""
+            if len(arr) <= chunk:
+                return jnp.asarray(arr)
+            return jnp.concatenate(
+                [jnp.asarray(arr[i: i + chunk]) for i in range(0, len(arr), chunk)]
+            )
 
-        host_gen = prefetch(host_side(), buffer_size=4)
+        tr_imgs, tr_padded, tr_counts = materialize_split(train_ds)
+        hbm_gb = tr_imgs.nbytes / 2**30
+        if hbm_gb > args.hbm_dataset_gb:
+            raise SystemExit(
+                f"train split is {hbm_gb:.1f} GiB as uint8, over the "
+                f"--hbm_dataset_gb {args.hbm_dataset_gb} budget; raise it or "
+                "drop --device_pipeline for the streaming host chain."
+            )
+        print(f"device-resident train split: {len(tr_imgs)} images "
+              f"({hbm_gb:.2f} GiB uint8)")
+        d_imgs = to_device_chunked(tr_imgs)
+        d_padded = jnp.asarray(tr_padded)
+        d_counts = jnp.asarray(tr_counts)
+        del tr_imgs, tr_padded, tr_counts
 
         def train_gen():
             key = jax.random.PRNGKey(0)
+            rng = np.random.RandomState(0)
+            order, ptr = rng.permutation(len(d_imgs)), 0
             while True:
+                if ptr + args.batch_size > len(order):
+                    order, ptr = rng.permutation(len(d_imgs)), 0
+                idx = jnp.asarray(order[ptr: ptr + args.batch_size])
+                ptr += args.batch_size
                 key, sub = jax.random.split(key)
-                images, padded, counts = next(host_gen)
-                imgs, lbls, counts = device_aug(sub, images, padded, counts)
+                imgs, lbls, counts = device_aug(
+                    sub,
+                    jnp.take(d_imgs, idx, axis=0),
+                    jnp.take(d_padded, idx, axis=0),
+                    jnp.take(d_counts, idx, axis=0),
+                )
                 yield imgs, encoder.encode_padded(lbls, counts)
 
         train_generator = train_gen()
@@ -166,14 +206,35 @@ def main():
             returns=["processed_images", "encoded_labels"],
         )
 
-    val_generator = val_ds.generate(
-        batch_size=args.batch_size,
-        shuffle=False,
-        transformations=[ConvertTo3Channels(), Resize(300, 300)],
-        label_encoder=encoder,
-        returns=["processed_images", "encoded_labels"],
-    )
     validation_steps = max(1, val_ds.get_dataset_size() // args.batch_size)
+    if args.device_pipeline:
+        # Validation batches live on device too: images as resident uint8,
+        # targets encoded on-device once and reused every epoch (the epoch-end
+        # val loop then moves nothing over the link).
+        v_imgs, v_padded, v_counts = materialize_split(val_ds)
+        dv_imgs = to_device_chunked(v_imgs)
+        B = args.batch_size
+        val_batches = []
+        for i in range(0, validation_steps * B, B):
+            y = encoder.encode_padded(
+                jnp.asarray(v_padded[i: i + B]), jnp.asarray(v_counts[i: i + B])
+            )
+            val_batches.append((dv_imgs[i: i + B], y))
+        del v_imgs, v_padded, v_counts
+
+        def val_gen():
+            while True:
+                yield from val_batches
+
+        val_generator = val_gen()
+    else:
+        val_generator = val_ds.generate(
+            batch_size=args.batch_size,
+            shuffle=False,
+            transformations=[ConvertTo3Channels(), Resize(300, 300)],
+            label_encoder=encoder,
+            returns=["processed_images", "encoded_labels"],
+        )
 
     mesh = sh.make_mesh() if args.data_parallel else None
     sample = np.zeros((args.batch_size, 300, 300, 3), np.float32)
