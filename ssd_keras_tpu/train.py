@@ -422,8 +422,13 @@ class Trainer:
             self.state = sh.replicate(self.state, self.mesh)
 
     def _prepare(self, images, y_true):
-        images = np.ascontiguousarray(images, dtype=np.float32)
-        y_true = np.ascontiguousarray(y_true, dtype=np.float32)
+        # Device-resident batches (the on-device input pipeline) pass through
+        # untouched: forcing them into NumPy here would round-trip every
+        # batch device->host->device — tens of MB per step for nothing.
+        if not isinstance(images, jax.Array):
+            images = np.ascontiguousarray(images, dtype=np.float32)
+        if not isinstance(y_true, jax.Array):
+            y_true = np.ascontiguousarray(y_true, dtype=np.float32)
         if self.mesh is not None:
             images, y_true = sh.shard_batch((images, y_true), self.mesh)
         return images, y_true

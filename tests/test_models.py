@@ -182,6 +182,30 @@ def test_ssd_predictor_compiled_cache_lru():
     assert len(predictor._compiled) == 2
 
 
+def test_ssd_predictor_stream_pipeline_ordering():
+    """A long stream (many chunks) exercises the double-buffered upload
+    pipeline's mid-loop drains: per-image results must be identical to
+    serving each image alone, in the caller's order."""
+    from ssd_keras_tpu.predictor import SSDPredictor
+
+    cfg = SSDConfig.ssd7(n_classes=3, img_height=64, img_width=64)
+    model, _ = ssd_7(cfg, mode="inference")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    rng = np.random.RandomState(2)
+    images = [rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+              for _ in range(9)]  # batch 2 -> 5 chunks, pending caps at 3
+
+    predictor = SSDPredictor(model, variables, batch_size=2)
+    streamed = predictor(images)
+    assert len(streamed) == len(images)
+    # Oracle: one call per chunk (no mid-loop drains) at the SAME batch size,
+    # so any mismatch is pipeline bookkeeping, not batching numerics.
+    chunked = [d for i in range(0, len(images), 2)
+               for d in predictor(images[i:i + 2])]
+    for got, want in zip(streamed, chunked):
+        np.testing.assert_array_equal(got, want)
+
+
 def test_device_resize_matches_pil():
     """The fused device resample is numerically interchangeable with the
     reference workflow's PIL bilinear resize (VERDICT r1 weak #1)."""
