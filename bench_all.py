@@ -89,6 +89,25 @@ def main():
                     BASELINE_FPS.get((name, batch)) if mode == "inference"
                     else None)
 
+    # --- SSD7 with BatchNorm folded into the conv kernels (optimize.py):
+    # the serving configuration for the BN-heavy small model.
+    from ssd_keras_tpu import fold_batchnorm
+
+    cfg7 = SSDConfig.ssd7(img_height=300, img_width=480)
+    model7, _ = ssd_7(cfg7, mode="inference", compute_dtype=jnp.bfloat16)
+    model7f, _ = ssd_7(cfg7, mode="inference", compute_dtype=jnp.bfloat16,
+                       fold_bn=True)
+    x1 = jnp.asarray(np.random.rand(1, 300, 480, 3).astype(np.float32) * 255)
+    v7 = jax.jit(model7.init)(jax.random.PRNGKey(0), x1)
+    v7f = fold_batchnorm(v7)
+    for batch in (1, 8, 32):
+        x = jnp.asarray(
+            np.random.rand(batch, 300, 480, 3).astype(np.float32) * 255)
+        r = benchmark_fps(lambda b: model7f.apply(v7f, b), x,
+                          n_iters=n_iters, n_repeats=3)
+        add(f"ssd7 inference(bn-folded) batch {batch}",
+            r["ms_per_batch"], r["fps"], BASELINE_FPS.get(("ssd7", batch)))
+
     # --- COCO class count (81 incl. background): 4x the decode lanes ---
     cfg_coco = SSDConfig.ssd300(n_classes=80, dataset="coco")
     model_c, _ = ssd_300(cfg_coco, mode="inference", compute_dtype=jnp.bfloat16)

@@ -11,6 +11,7 @@ data-parallel training over a ``jax.sharding.Mesh``.
 from ssd_keras_tpu.config import SSDConfig
 from ssd_keras_tpu.encoder import DegenerateBoxError, SSDInputEncoder
 from ssd_keras_tpu.loss import SSDLoss
+from ssd_keras_tpu.optimize import fold_batchnorm
 from ssd_keras_tpu.predictor import SSDPredictor
 from ssd_keras_tpu.decoder import (
     decode_detections,
@@ -27,6 +28,7 @@ __all__ = [
     "DegenerateBoxError",
     "SSDLoss",
     "SSDPredictor",
+    "fold_batchnorm",
     "decode_detections",
     "decode_detections_fast",
     "decode_detections_fixed",

@@ -46,9 +46,16 @@ class SSD7(nn.Module):
     config: SSDConfig
     mode: str = "training"
     compute_dtype: Any = jnp.float32
+    # Serve with BatchNorm folded into the conv kernels (see
+    # ssd_keras_tpu/optimize.py): the module skips its BN layers and expects
+    # variables produced by ``optimize.fold_batchnorm``. Inference only.
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.fold_bn and train:
+            raise ValueError("fold_bn=True is an inference-only graph; "
+                             "train with fold_bn=False.")
         cfg = self.config
         n_classes = cfg.n_classes_with_background
         n_boxes = cfg.n_boxes_per_cell
@@ -62,13 +69,14 @@ class SSD7(nn.Module):
         for i, ch in enumerate(_CHANNELS, start=1):
             kernel = (5, 5) if i == 1 else (3, 3)
             x = conv_ssd(ch, kernel, f"conv{i}", dtype=dt)(x)
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.99,
-                epsilon=1e-3,  # Keras BatchNormalization default
-                dtype=dt,
-                name=f"bn{i}",
-            )(x)
+            if not self.fold_bn:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.99,
+                    epsilon=1e-3,  # Keras BatchNormalization default
+                    dtype=dt,
+                    name=f"bn{i}",
+                )(x)
             x = nn.elu(x)
             feats[i] = x
             if i < 7:
@@ -93,6 +101,7 @@ def build_model(
     config: Optional[SSDConfig] = None,
     mode: str = "training",
     compute_dtype: Any = jnp.float32,
+    fold_bn: bool = False,
     **config_overrides,
 ):
     """Build an SSD7 model (reference-parity name). Returns (module, sizes)."""
@@ -101,7 +110,7 @@ def build_model(
     elif config_overrides:
         raise ValueError("Pass either a config or overrides, not both.")
     module = SSD7(config=config, mode=validate_mode(mode),
-                  compute_dtype=compute_dtype)
+                  compute_dtype=compute_dtype, fold_bn=fold_bn)
     sizes = ssd7_predictor_sizes(config.img_height, config.img_width)
     return module, np.array(sizes)
 
