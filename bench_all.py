@@ -170,7 +170,7 @@ def main():
     batch_d = np.stack(imgs).astype(np.float32)
     r = benchmark_fps(lambda x: run(pred.variables, x), batch_d,
                       n_iters=n_iters, n_repeats=3)
-    add("ssd300 SSDPredictor 640x480 device-resident batch 8",
+    add("ssd300 SSDPredictor 640x480 device-resident 64-image batch",
         r["ms_per_batch"], r["fps"])
 
     # --- Training step (SSD300, canonical batch 32) ---

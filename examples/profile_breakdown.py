@@ -41,34 +41,46 @@ from ssd_keras_tpu import SSDConfig
 from ssd_keras_tpu.models import ssd_7, ssd_300
 from ssd_keras_tpu.utils.profiling import benchmark_fps
 
-REPS = 50
+REPS = (50, 250)
 
 
 def time_in_jit(fn, *args, reps=REPS, repeats=3):
     """ms per call of ``fn(*args)`` via an in-jit fori_loop with the output
-    folded into the first argument (defeats LICM and per-call dispatch)."""
+    folded into the first argument (defeats LICM and per-call dispatch).
 
-    @jax.jit
-    def loop(*a):
-        def body(_, carry):
-            first, rest = carry[0], carry[1:]
-            out = fn(first, *rest)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            s = jnp.sum(leaf).astype(first.dtype) * 0
-            return (first + s, *rest)
+    A single synchronous program execution through this environment's TPU
+    tunnel costs ~30 ms of launch round-trip regardless of compute (measured:
+    a (8,8) elementwise loop takes 32.5/36/39.7 ms total at 10/50/200
+    iterations). Timing ONE loop therefore overstates short stages by
+    ~30/reps ms. Measuring at two iteration counts and taking the slope
+    (T(r2) - T(r1)) / (r2 - r1) cancels the fixed launch cost exactly.
+    """
 
-        return jax.lax.fori_loop(0, reps, body, a)[0]
+    def timed_loop(r):
+        @jax.jit
+        def loop(*a):
+            def body(_, carry):
+                first, rest = carry[0], carry[1:]
+                out = fn(first, *rest)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                s = jnp.sum(leaf).astype(first.dtype) * 0
+                return (first + s, *rest)
 
-    out = loop(*args)  # compile
-    jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-    best = None
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = loop(*args)
+            return jax.lax.fori_loop(0, r, body, a)[0]
+
+        out = loop(*args)  # compile
         jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return best / reps * 1000.0
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = loop(*args)
+            jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    r1, r2 = reps
+    return (timed_loop(r2) - timed_loop(r1)) / (r2 - r1) * 1000.0
 
 
 def ssd300_breakdown(batch):
@@ -179,7 +191,7 @@ def main():
     args = p.parse_args()
 
     ssd300 = [ssd300_breakdown(8), ssd300_breakdown(32)]
-    ssd7 = ssd7_dispatch_vs_compute(8)
+    ssd7 = [ssd7_dispatch_vs_compute(1), ssd7_dispatch_vs_compute(8)]
 
     record = {"ssd300": ssd300, "ssd7": ssd7}
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
@@ -188,26 +200,29 @@ def main():
         f.write(
             "Trunk = training-mode forward (no decode); e2e = fused "
             "inference forward; decode stages measured in isolation with an "
-            "in-jit fori_loop (REPS=50, carry folded into the input). "
-            "`decode_in_e2e_ms` (e2e - trunk) can be below the stage sum: "
-            "XLA overlaps decode stages with trunk tail work inside the "
-            "fused program.\n\n")
+            "in-jit fori_loop (carry folded into the input), two-point "
+            "calibrated at 50 and 250 iterations so the tunnel's ~30 ms "
+            "fixed program-launch round-trip cancels out of every stage "
+            "number. `decode_in_e2e_ms` (e2e - trunk) can differ from the "
+            "stage sum: XLA overlaps decode stages with trunk tail work "
+            "inside the fused program.\n\n")
         f.write("## SSD300\n\n```json\n" + json.dumps(ssd300, indent=2)
                 + "\n```\n\n")
         f.write(
             "## SSD7 dispatch vs compute (VERDICT r2 weak #4)\n\n"
             "Dispatch-inclusive = one jitted call per step through the "
-            "tunnel (calls overlap via the async dispatch queue); on-device "
-            "chained = the same forward in a fori_loop inside one jit "
-            "(strictly serialized). `dispatch_overhead_ms` ~ 0 (or slightly "
-            "negative) means SSD7's time is model compute, NOT tunnel "
-            "dispatch — the r2 hypothesis that the sub-10x batch-8 number "
-            "was dispatch-bound is refuted by this measurement. "
-            "`trunk_ms` (training-mode forward) vs `decode_ms` (inference "
-            "e2e minus trunk) splits that compute: the conv trunk is ~6x "
-            "the in-graph decode, so the 32-64-channel conv stack "
-            "(under-filling the 128-wide MXU) is where the remaining time "
-            "lives, not the 12160-anchor decode.\n\n")
+            "tunnel (calls overlap via the async dispatch queue; this is "
+            "the BENCH_MATRIX number); on-device chained = the same forward "
+            "in a calibrated fori_loop inside one jit — the chip's own "
+            "per-batch time with all host/tunnel costs removed. "
+            "`dispatch_overhead_ms` = their difference: what the tunnel "
+            "adds per call even with pipelined dispatch (absent on a "
+            "directly-attached TPU host). `trunk_ms` (training-mode "
+            "forward) vs `decode_ms` (inference e2e minus trunk) splits "
+            "the on-device time: the conv trunk dominates the in-graph "
+            "decode, so the 32-64-channel conv stack (under-filling the "
+            "128-wide MXU) is where the remaining time lives, not the "
+            "12160-anchor decode.\n\n")
         f.write("```json\n" + json.dumps(ssd7, indent=2) + "\n```\n")
     print("RESULT " + json.dumps(record))
 

@@ -5,11 +5,15 @@ The reference serves its Keras graphs exactly as trained
 the inference graph). On TPU the BN scale/shift after each conv is a pure
 linear map at inference time, so it can be folded into the conv kernel and
 bias *before* compilation — the compiled trunk then contains only
-conv+bias+ELU, which XLA fuses into a single kernel per block. This matters
-most for SSD7, whose 32-64-channel maps under-fill the 128-wide vector
-lanes: every elementwise pass over an (N, H, W, C<=64) tensor wastes more
-than half its bandwidth, so removing the BN pass is a real win rather than
-a micro-optimization (see docs/benchmarks/profile.md).
+conv+bias+ELU.
+
+Measured effect (BENCH_MATRIX.json 'bn-folded' rows vs the live-BN rows):
+~1% at SSD7 batch 8/32 — XLA already fuses the inference-mode BN affine
+into the conv's epilogue, so folding buys little raw speed on this chip.
+What it does buy: a params-only serving contract (no ``batch_stats``
+collection to thread through predictors/checkpoints) and a trunk whose HLO
+is plain conv+bias for downstream tooling, at zero accuracy cost (exact up
+to float rounding, pinned by tests/test_optimize.py).
 
 Folding math (per output channel c, Keras BN semantics):
 
