@@ -69,15 +69,12 @@ def _single_process_reference() -> float:
     return float(jax.device_get(metrics["loss"]))
 
 
-@pytest.mark.slow
-def test_two_process_data_parallel_matches_single_process(tmp_path):
-    port = _free_port()
+def _run_workers(port):
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jaxcache"
-
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(pid), str(port)],
@@ -89,8 +86,30 @@ def test_two_process_data_parallel_matches_single_process(tmp_path):
     outputs = []
     for p in procs:
         out, _ = p.communicate(timeout=600)
-        outputs.append(out)
-        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+        outputs.append((p.returncode, out))
+    return outputs
+
+
+# Gloo's key-value rendezvous has a hard 30 s deadline baked into jaxlib.
+# On a loaded host, one worker can still be compiling when the other reaches
+# the collective, blowing that deadline even though nothing is wrong. The
+# first attempt populates the shared compilation cache, so a retry runs the
+# rendezvous without the compile skew.
+_GLOO_INIT_FLAKE = "Gloo context initialization failed"
+
+
+@pytest.mark.slow
+def test_two_process_data_parallel_matches_single_process(tmp_path):
+    for attempt in range(3):
+        results_raw = _run_workers(_free_port())
+        if all(rc == 0 for rc, _ in results_raw):
+            break
+        flaky = any(rc != 0 and _GLOO_INIT_FLAKE in out
+                    for rc, out in results_raw)
+        assert flaky and attempt < 2, "worker failed:\n" + "\n".join(
+            out[-3000:] for rc, out in results_raw if rc != 0
+        )
+    outputs = [out for _, out in results_raw]
 
     results = {}
     for out in outputs:
