@@ -390,10 +390,27 @@ def main():
         cmd512 = [os.path.join(EXAMPLES, "ssd512_inference.py"),
                   sample_imgs[0], "--n_classes", "20"]
         if args.ssd512_weights:
-            cmd512 += ["--weights", args.ssd512_weights,
-                       "--confidence", "0.25"]
+            # The SSD512 benchmark model trains on 512x512 SynthVOC renders;
+            # feeding it the 300x300 renders the SSD300 rows use would test
+            # it out of distribution (upscaled textures collapse its
+            # confidences). Render its own native-resolution val images.
+            from PIL import Image
+
+            from ssd_keras_tpu.data.synthvoc import SynthVOC
+
+            ds512 = SynthVOC(2, 512, split="val", seed=0)
+            imgs512 = []
+            for i in range(2):
+                img, _ = ds512.render(i)
+                path = os.path.join(root, f"ssd512_val_{i}.jpg")
+                Image.fromarray(img).save(path, quality=95)
+                imgs512.append(path)
+            cmd512 = [os.path.join(EXAMPLES, "ssd512_inference.py"),
+                      *imgs512, "--n_classes", "20",
+                      "--weights", args.ssd512_weights,
+                      "--confidence", "0.25"]
             run("ssd512_inference", cmd512, results,
-                check=check_inference_boxes())
+                check=check_inference_boxes(frame_w=512, frame_h=512))
         else:
             cmd512 += ["--confidence", "0.99"]
             run("ssd512_inference (random-init smoke)", cmd512, results)
@@ -423,8 +440,13 @@ def main():
         f.write("# Workflow execution record (SynthVOC)\n\n")
         f.write(f"- scale: `{args.scale}` (train {n_train}+{n_train12} / "
                 f"val {n_val} images, {epochs}x{steps} steps batch {batch})\n")
-        f.write(f"- command: `python examples/run_workflows_synthvoc.py "
-                f"--scale {args.scale}`\n")
+        cmd = f"python examples/run_workflows_synthvoc.py --scale {args.scale}"
+        if args.ssd512_weights:
+            cmd += (f" --ssd512_weights {args.ssd512_weights}"
+                    "  # SynthVOC-trained SSD512 export"
+                    " (examples/synthvoc_benchmark.py --model ssd512"
+                    " + examples/export_h5.py)")
+        f.write(f"- command: `{cmd}`\n")
         f.write(f"- result: **{n_ok}/{len(results)} workflows passed**\n\n")
         f.write("| workflow | status | seconds |\n|---|---|---|\n")
         for r in results:
