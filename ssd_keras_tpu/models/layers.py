@@ -13,6 +13,7 @@ from typing import Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "L2Normalization",
@@ -163,6 +164,53 @@ def fused_prediction_heads(parent, feat, src: str, n_boxes: int,
     ) + bias
     n_conf = n_boxes * n_classes
     return out[..., :n_conf], out[..., n_conf:]
+
+
+def s2d_conv_kernel(kernel, bias):
+    """Space-to-depth(2) transform of a stride-1 SAME odd-k conv kernel.
+
+    Rewrites a ``(k, k, cin, cout)`` convolution over ``(H, W, cin)`` as an
+    equivalent 3-tap convolution over the 2x2-space-to-depth input
+    ``(H/2, W/2, 4*cin)`` producing ``(H/2, W/2, 4*cout)`` — one output block
+    of 2x2 pixels per position, channel index ``(p*2+q)*cout + o`` for output
+    phase ``(p, q)``. Exact (the extra taps are zeros); the payoff is MXU
+    utilization: a 5x5 conv with cin=3 uses 3/128 input lanes, its
+    space-to-depth form uses 12 input and 4x the output lanes. With an even
+    input and a following 2x2/2 VALID max pool, the pool collapses to a free
+    ``max`` over the 4 phase channels (it reduces exactly one output block).
+
+    The reference has no counterpart (its conv1 runs as-is through cuDNN,
+    /root/reference/models/keras_ssd7.py:277-284); this is the TPU-native
+    answer to the same layer. Returns ``(kernel', bias')`` with ``kernel'``
+    of shape ``(kb, kb, 4*cin, 4*cout)``; apply with explicit padding
+    ``((1, 1), (1, 1))`` on the space-to-depth input.
+    """
+    k, _, cin, cout = kernel.shape
+    if k % 2 != 1:
+        raise ValueError("s2d_conv_kernel expects an odd kernel size")
+    pad = k // 2
+    # Input row 2A+pp feeding output row 2H+p via tap dh satisfies
+    # 2(A-H) = dh + p - pp - pad; block taps a = A-H+1 span {0,1,2} for
+    # k in {3,5}. Out-of-range taps index the zero row appended below.
+    a_idx = np.arange(3)[:, None, None]          # (a, pp, p)
+    pp_idx = np.arange(2)[None, :, None]
+    p_idx = np.arange(2)[None, None, :]
+    dh = 2 * (a_idx - 1) + pp_idx - p_idx + pad  # tap into the original kernel
+    dh = np.where((dh >= 0) & (dh < k), dh, k)   # k = zero row
+    kz = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    gathered = kz[
+        dh[:, None, :, None, :, None],           # rows:    (a, pp, p)
+        dh[None, :, None, :, None, :],           # columns: (b, qq, q) — same table
+    ]                                            # -> (a,b,pp,qq,p,q,cin,cout)
+    kp = gathered.transpose(0, 1, 2, 3, 6, 4, 5, 7).reshape(3, 3, 4 * cin, 4 * cout)
+    return kp, jnp.tile(bias, 4)
+
+
+def space_to_depth(x):
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), channel index (pp*2+qq)*C + c."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
 
 
 def conv_ssd(

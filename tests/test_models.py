@@ -92,6 +92,43 @@ def test_ssd7_forward_and_softmax_layout():
     )
 
 
+def test_ssd7_s2d_trunk_matches_plain():
+    """The space-to-depth conv1 graph (models/layers.py:s2d_conv_kernel) is
+    an exact rewrite of conv1+bn1+ELU+pool1: same parameter tree, matching
+    outputs and BN batch statistics in both train and eval mode."""
+    cfg = SSDConfig.ssd7(n_classes=4, img_height=64, img_width=96)
+    m_plain, _ = ssd_7(cfg, s2d_trunk=False)
+    m_s2d, _ = ssd_7(cfg, s2d_trunk=True)
+    x = np.random.RandomState(1).rand(2, 64, 96, 3).astype(np.float32) * 255
+    v = m_plain.init(jax.random.PRNGKey(0), x)
+    v2 = m_s2d.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    for a, b in zip(jax.tree_util.tree_leaves(v), jax.tree_util.tree_leaves(v2)):
+        assert a.shape == b.shape
+
+    y_plain = np.asarray(m_plain.apply(v, x, train=False))
+    y_s2d = np.asarray(m_s2d.apply(v, x, train=False))
+    np.testing.assert_allclose(y_s2d, y_plain, rtol=1e-4, atol=1e-4)
+
+    yt_plain, mut_plain = m_plain.apply(v, x, train=True, mutable=["batch_stats"])
+    yt_s2d, mut_s2d = m_s2d.apply(v, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yt_s2d), np.asarray(yt_plain),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(mut_plain["batch_stats"]),
+                    jax.tree_util.tree_leaves(mut_s2d["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_ssd7_s2d_trunk_odd_input_falls_back():
+    """Odd input sizes can't space-to-depth; the flag degrades gracefully."""
+    cfg = SSDConfig.ssd7(n_classes=3, img_height=65, img_width=96)
+    model, _ = ssd_7(cfg, s2d_trunk=True)
+    x = jnp.zeros((1, 65, 96, 3), jnp.float32)
+    variables = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+    assert variables["params"]["conv1"]["kernel"].shape == (5, 5, 3, 32)
+
+
 def test_l2_normalization_unit_norm_times_gamma():
     layer = L2Normalization(gamma_init=20.0)
     x = jnp.asarray(np.random.RandomState(0).randn(1, 2, 2, 8).astype(np.float32))
