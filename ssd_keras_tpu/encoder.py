@@ -250,7 +250,7 @@ class SSDInputEncoder:
             ):
                 raise ValueError(
                     f"Batch item {i} contains class IDs outside "
-                    f"[1, {self.config.n_classes}]: {sorted(set(class_ids))}. "
+                    f"[1, {self.config.n_classes}]: {np.unique(class_ids).tolist()}. "
                     "Class 0 is reserved for the background."
                 )
             if np.any(labels[:, 3] - labels[:, 1] <= 0) or np.any(

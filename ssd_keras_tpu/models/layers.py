@@ -167,7 +167,8 @@ def fused_prediction_heads(parent, feat, src: str, n_boxes: int,
 
 
 def s2d_conv_kernel(kernel, bias):
-    """Space-to-depth(2) transform of a stride-1 SAME odd-k conv kernel.
+    """Space-to-depth(2) transform of a stride-1 SAME square conv kernel,
+    k in {1, 3, 5}.
 
     Rewrites a ``(k, k, cin, cout)`` convolution over ``(H, W, cin)`` as an
     equivalent 3-tap convolution over the 2x2-space-to-depth input
@@ -185,9 +186,15 @@ def s2d_conv_kernel(kernel, bias):
     of shape ``(kb, kb, 4*cin, 4*cout)``; apply with explicit padding
     ``((1, 1), (1, 1))`` on the space-to-depth input.
     """
-    k, _, cin, cout = kernel.shape
-    if k % 2 != 1:
-        raise ValueError("s2d_conv_kernel expects an odd kernel size")
+    k, kw, cin, cout = kernel.shape
+    if k != kw:
+        raise ValueError(
+            f"s2d_conv_kernel expects a square kernel, got ({k}, {kw})"
+        )
+    if k not in (1, 3, 5):
+        # The 3-wide block-tap table below (a in {0, 1, 2}) only covers
+        # receptive fields up to 5; k >= 7 would silently drop taps.
+        raise ValueError(f"s2d_conv_kernel supports k in (1, 3, 5), got {k}")
     pad = k // 2
     # Input row 2A+pp feeding output row 2H+p via tap dh satisfies
     # 2(A-H) = dh + p - pp - pad; block taps a = A-H+1 span {0,1,2} for

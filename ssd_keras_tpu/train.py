@@ -236,17 +236,43 @@ class CSVLogger(Callback):
     def __init__(self, filename, append=False):
         self.filename = filename
         self._initialized = append and os.path.exists(filename)
+        self.fieldnames: Optional[List[str]] = None
+        if self._initialized:
+            # Resuming: recover the existing header so appended rows stay
+            # aligned with it even if this run's metric keys differ.
+            with open(filename, newline="") as f:
+                header = next(csv.reader(f), None)
+            if header:
+                self.fieldnames = header
 
     def on_epoch_end(self, epoch, logs, trainer):
-        fields = ["epoch"] + sorted(logs)
+        # Fieldnames are fixed at the first write (Keras CSVLogger semantics):
+        # a metric appearing later (e.g. val_loss from epoch 2) is dropped with
+        # a one-time warning instead of corrupting the column alignment, and a
+        # metric that disappears leaves its column empty.
+        if self.fieldnames is None:
+            self.fieldnames = ["epoch"] + sorted(logs)
         write_header = not self._initialized
         mode = "a" if self._initialized else "w"
+        row = {"epoch": epoch}
+        extras = []
+        for k, v in logs.items():
+            if k in self.fieldnames:
+                row[k] = float(v)
+            else:
+                extras.append(k)
+        if extras and not getattr(self, "_warned_extras", False):
+            self._warned_extras = True
+            print(
+                f"CSVLogger: metrics {extras} appeared after the header was "
+                f"written to {self.filename}; they will not be logged."
+            )
         with open(self.filename, mode, newline="") as f:
-            writer = csv.DictWriter(f, fieldnames=fields)
+            writer = csv.DictWriter(f, fieldnames=self.fieldnames, restval="")
             if write_header:
                 writer.writeheader()
                 self._initialized = True
-            writer.writerow({"epoch": epoch, **{k: float(v) for k, v in logs.items()}})
+            writer.writerow(row)
 
 
 class LearningRateScheduler(Callback):

@@ -120,6 +120,19 @@ def test_ssd7_s2d_trunk_matches_plain():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_s2d_conv_kernel_rejects_unsupported_kernels():
+    """The block-tap table only covers k<=5; unsupported shapes must raise
+    instead of silently dropping taps (ADVICE r3)."""
+    from ssd_keras_tpu.models.layers import s2d_conv_kernel
+
+    with pytest.raises(ValueError, match="square"):
+        s2d_conv_kernel(jnp.zeros((3, 5, 4, 8)), jnp.zeros((8,)))
+    with pytest.raises(ValueError, match="k in"):
+        s2d_conv_kernel(jnp.zeros((7, 7, 4, 8)), jnp.zeros((8,)))
+    with pytest.raises(ValueError, match="k in"):
+        s2d_conv_kernel(jnp.zeros((4, 4, 4, 8)), jnp.zeros((8,)))
+
+
 def test_ssd7_s2d_trunk_odd_input_falls_back():
     """Odd input sizes can't space-to-depth; the flag degrades gracefully."""
     cfg = SSDConfig.ssd7(n_classes=3, img_height=65, img_width=96)

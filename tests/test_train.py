@@ -89,6 +89,27 @@ def test_csv_logger_append_semantics(setup, tmp_path):
     assert len(lines) == 3
 
 
+def test_csv_logger_tolerates_changing_metric_keys(tmp_path):
+    """Metric keys changing between epochs (val_loss appearing at epoch 2, a
+    metric disappearing at epoch 3) must not raise or misalign columns: the
+    header is fixed at first write, later extras are dropped with a warning,
+    missing keys leave their column empty (ADVICE/VERDICT r3)."""
+    csv_path = str(tmp_path / "log.csv")
+    logger = T.CSVLogger(csv_path)
+    logger.on_epoch_end(0, {"loss": 1.0}, None)
+    logger.on_epoch_end(1, {"loss": 0.5, "val_loss": 0.7}, None)  # extra key
+    logger.on_epoch_end(2, {}, None)  # missing key
+    lines = open(csv_path).read().strip().splitlines()
+    assert lines[0] == "epoch,loss"
+    assert lines[1] == "0,1.0"
+    assert lines[2] == "1,0.5"  # val_loss dropped, not misaligned
+    assert lines[3] == "2,"  # loss column empty, row still parses
+    import csv as _csv
+
+    rows = list(_csv.DictReader(open(csv_path)))
+    assert [r["epoch"] for r in rows] == ["0", "1", "2"]
+
+
 def test_lr_scheduler_callback(setup):
     cfg, model, gen = setup
     trainer = _make_trainer(model, gen)
