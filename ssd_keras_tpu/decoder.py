@@ -102,14 +102,15 @@ def decode_offsets(
 
 
 def _resolve_auto_nms_impl():
-    """$SSD_NMS_IMPL if set, else 'pallas' only on a single-device TPU
-    process (see _nms_lanes docstring for the multi-device rationale)."""
+    """$SSD_NMS_IMPL if set, else 'pallas' on TPU (single- or multi-device:
+    the kernel carries a custom_partitioning rule that shards it along the
+    lane axis, so data-parallel serving keeps it), 'fixpoint' elsewhere."""
     import os
 
     impl = os.environ.get("SSD_NMS_IMPL", "")
     if impl:
         return impl
-    if jax.default_backend() == "tpu" and len(jax.devices()) == 1:
+    if jax.default_backend() == "tpu":
         return "pallas"
     return "fixpoint"
 
@@ -117,16 +118,16 @@ def _resolve_auto_nms_impl():
 def _nms_lanes(lane_boxes, lane_valid, iou_threshold, nms_impl, border_delta=0.0):
     """Dispatch NMS over (L, K) lanes.
 
-    'auto' resolves to $SSD_NMS_IMPL if set; otherwise 'pallas' on a
-    single-device TPU process (the VMEM-resident kernel — measured 1.0 ms
-    faster than 'fixpoint' per SSD300 batch-8 decode, 8.8 -> 7.4 ms
-    end-to-end inference) and 'fixpoint' elsewhere (the Jacobi masked-any
-    iteration, ops/nms.py:greedy_nms_mask_fixpoint — portable, exact).
-    Multi-device processes get 'fixpoint' because ``pallas_call`` carries no
-    SPMD partitioning rule: under a sharded mesh the kernel would fail to
-    partition (or silently replicate the NMS); the fixpoint path is plain
-    lax ops that partition per-lane for free. $SSD_NMS_IMPL=pallas remains
-    the explicit override (e.g. inside a shard_map region). Alternatives:
+    'auto' resolves to $SSD_NMS_IMPL if set; otherwise 'pallas' on TPU (the
+    VMEM-resident kernel — measured 1.0 ms faster than 'fixpoint' per SSD300
+    batch-8 decode, 8.8 -> 7.4 ms end-to-end inference) and 'fixpoint'
+    elsewhere (the Jacobi masked-any iteration,
+    ops/nms.py:greedy_nms_mask_fixpoint — portable, exact). The kernel is
+    sharding-safe: ``kernels/nms_pallas.py`` wraps it in a
+    ``custom_partitioning`` rule that partitions along the (independent)
+    lane axis and replicates K, so under a data-parallel mesh each device
+    runs the kernel on its local lanes — multi-device serving keeps the
+    kernel instead of falling back. Alternatives:
     'scan' (K-step lax.scan), 'blocked' (block-decomposed scan),
     'pallas_interpret' (the Pallas kernel interpreted, for CPU testing).
     All implementations honor ``border_delta`` (the border_pixels convention

@@ -36,6 +36,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["greedy_nms_mask_batched"]
@@ -123,7 +124,7 @@ _LANE_BLOCK = 256
 @functools.partial(
     jax.jit, static_argnames=("iou_threshold", "border_delta", "interpret")
 )
-def greedy_nms_mask_batched(
+def _greedy_nms_mask_batched_local(
     boxes: jnp.ndarray,  # (L, K, 4) corners, score-descending per lane
     valid: jnp.ndarray,  # (L, K) bool
     iou_threshold: float = 0.45,
@@ -171,3 +172,78 @@ def greedy_nms_mask_batched(
         interpret=interpret,
     )(bounds, x1, y1, x2, y2, v)
     return keep[:k, :l].T > 0.5
+
+
+# --------------------------------------------------------------------------- #
+# SPMD partitioning: run the kernel per-shard under a sharded mesh
+# --------------------------------------------------------------------------- #
+#
+# ``pallas_call`` carries no SPMD partitioning rule of its own, so under a
+# data-parallel mesh GSPMD/Shardy would have to all-gather the lanes onto
+# every device (or fail). The lanes are independent by construction —
+# L = batch x (n_classes - 1) with batch on the 'data' axis — so the kernel
+# partitions trivially along L. ``custom_partitioning`` states exactly that:
+# lanes may shard, the candidate axis must replicate, and the per-shard
+# lowering is the local kernel itself (each shard recomputes its own
+# scalar-prefetch trip bounds from its local ``valid``). This is what lets
+# the decoder's 'auto' policy keep the measured-faster Pallas kernel under
+# multi-device serving instead of falling back to the fixpoint
+# (VERDICT r3 #5; decoder.py:_resolve_auto_nms_impl).
+
+
+def _nms_spmd_impl(boxes, valid, iou_threshold, border_delta, interpret):
+    return _greedy_nms_mask_batched_local(
+        boxes, valid, iou_threshold, border_delta, interpret
+    )
+
+
+_nms_spmd = custom_partitioning(_nms_spmd_impl, static_argnums=(2, 3, 4))
+
+
+def _nms_partition(iou_threshold, border_delta, interpret, mesh, arg_shapes,
+                   result_shape):
+    arg_shardings = jax.tree_util.tree_map(lambda s: s.sharding, arg_shapes)
+    result_sharding = result_shape.sharding
+
+    def lower_fn(boxes, valid):
+        return _nms_spmd_impl(boxes, valid, iou_threshold, border_delta,
+                              interpret)
+
+    return mesh, lower_fn, result_sharding, arg_shardings
+
+
+def _nms_infer_sharding(iou_threshold, border_delta, interpret, mesh,
+                        arg_shapes, result_shape):
+    # Keep mask inherits the lane sharding of ``boxes``; K replicated.
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    spec = arg_shapes[0].sharding.spec
+    lane_axis = spec[0] if len(spec) else None
+    return NamedSharding(mesh, PartitionSpec(lane_axis, None))
+
+
+_nms_spmd.def_partition(
+    _nms_partition,
+    infer_sharding_from_operands=_nms_infer_sharding,
+    # Shardy rule: lanes ('l') pass through; candidates ('k') and the corner
+    # coordinate axis ('c') must be replicated on every shard.
+    sharding_rule="l k c, l k -> l k",
+    need_replication_factors=("k", "c"),
+)
+
+
+def greedy_nms_mask_batched(
+    boxes: jnp.ndarray,  # (L, K, 4) corners, score-descending per lane
+    valid: jnp.ndarray,  # (L, K) bool
+    iou_threshold: float = 0.45,
+    border_delta: float = 0.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(L, K) bool keep mask (Pallas kernel; see module docstring).
+
+    Safe under jit with sharded inputs: the op partitions along the lane
+    axis (each device runs the kernel on its local lanes) and replicates K.
+    Single-device calls lower to the plain kernel unchanged.
+    """
+    return _nms_spmd(boxes, valid, float(iou_threshold), float(border_delta),
+                     bool(interpret))
