@@ -220,6 +220,36 @@ def space_to_depth(x):
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
 
 
+def depth_to_space(x):
+    """Inverse of :func:`space_to_depth`: (B, H, W, 4C) -> (B, 2H, 2W, C)."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c)
+
+
+def s2d_conv_apply(parent, x, features: int, kernel_size: Tuple[int, int],
+                   name: str, dtype):
+    """Apply a named stride-1 SAME conv via its space-to-depth form (exact).
+
+    Declares the conv's parameters in their plain ``(k, k, cin, features)``
+    layout under ``name`` — the checkpoint/.h5 layout is unchanged — and
+    transforms them with :func:`s2d_conv_kernel` at apply time. Returns the
+    phase-layout output ``(B, H/2, W/2, 4*features)``; follow with
+    :func:`depth_to_space` to restore full resolution, or with a phase-max
+    to absorb a trailing 2x2/2 pool. Requires even input height/width and
+    ``kernel_size`` in {1, 3, 5} square.
+    """
+    kernel, bias = ConvParams(features, kernel_size, name=name,
+                              parent=parent)(x.shape[-1])
+    kp, bp = s2d_conv_kernel(kernel.astype(dtype), bias.astype(dtype))
+    return jax.lax.conv_general_dilated(
+        space_to_depth(x), kp, window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bp
+
+
 def conv_ssd(
     features: int,
     kernel: Tuple[int, int],

@@ -29,8 +29,10 @@ from ssd_keras_tpu.models.common import (
 from ssd_keras_tpu.models.layers import (
     L2Normalization,
     conv_ssd,
+    depth_to_space,
     fused_prediction_heads,
     preprocess_input,
+    s2d_conv_apply,
 )
 
 __all__ = ["SSD300", "ssd_300", "ssd300_predictor_sizes"]
@@ -80,6 +82,15 @@ class SSD300(nn.Module):
     config: SSDConfig
     mode: str = "training"
     compute_dtype: Any = jnp.float32
+    # Run conv1_1 as its space-to-depth equivalent (exact; see
+    # models/layers.py:s2d_conv_kernel). The 3x3 cin=3 conv on the full-res
+    # image fills 27 of the MXU's 128 contraction lanes; the transform runs
+    # it at 108 lanes on a 4x smaller grid (the 4x FLOP inflation of the
+    # s2d form is a win only at cin=3 — conv1_2 at cin=64 is already dense
+    # and stays in plain form, paying one depth_to_space relayout).
+    # Parameters keep the plain (3,3,3,64) layout, so checkpoints and .h5
+    # ports are unaffected. Applies when the input size is even.
+    s2d_trunk: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -102,7 +113,12 @@ class SSD300(nn.Module):
 
         pool = lambda x: nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
 
-        x = block(x, (64, 64), ("conv1_1", "conv1_2"))
+        if self.s2d_trunk and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            x = depth_to_space(nn.relu(
+                s2d_conv_apply(self, x, 64, (3, 3), "conv1_1", dt)))
+            x = nn.relu(conv(64, (3, 3), "conv1_2")(x))
+        else:
+            x = block(x, (64, 64), ("conv1_1", "conv1_2"))
         x = pool(x)
         x = block(x, (128, 128), ("conv2_1", "conv2_2"))
         x = pool(x)
@@ -158,6 +174,7 @@ def ssd_300(
     config: Optional[SSDConfig] = None,
     mode: str = "training",
     compute_dtype: Any = jnp.float32,
+    s2d_trunk: bool = True,
     **config_overrides,
 ):
     """Build an SSD300 model. Returns ``(module, predictor_sizes)``.
@@ -170,6 +187,6 @@ def ssd_300(
     elif config_overrides:
         raise ValueError("Pass either a config or overrides, not both.")
     module = SSD300(config=config, mode=validate_mode(mode),
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype, s2d_trunk=s2d_trunk)
     sizes = ssd300_predictor_sizes(config.img_height, config.img_width)
     return module, np.array(sizes)

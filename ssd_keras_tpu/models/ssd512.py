@@ -25,8 +25,10 @@ from ssd_keras_tpu.models.common import (
 from ssd_keras_tpu.models.layers import (
     L2Normalization,
     conv_ssd,
+    depth_to_space,
     fused_prediction_heads,
     preprocess_input,
+    s2d_conv_apply,
 )
 
 __all__ = ["SSD512", "ssd_512", "ssd512_predictor_sizes"]
@@ -71,6 +73,9 @@ class SSD512(nn.Module):
     config: SSDConfig
     mode: str = "training"
     compute_dtype: Any = jnp.float32
+    # conv1_1 in space-to-depth form (exact; see SSD300.s2d_trunk — same
+    # 27-of-128-lane underfill, same plain parameter layout on disk).
+    s2d_trunk: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -93,7 +98,12 @@ class SSD512(nn.Module):
 
         pool = lambda x: nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
 
-        x = block(x, (64, 64), ("conv1_1", "conv1_2"))
+        if self.s2d_trunk and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            x = depth_to_space(nn.relu(
+                s2d_conv_apply(self, x, 64, (3, 3), "conv1_1", dt)))
+            x = nn.relu(conv(64, (3, 3), "conv1_2")(x))
+        else:
+            x = block(x, (64, 64), ("conv1_1", "conv1_2"))
         x = pool(x)
         x = block(x, (128, 128), ("conv2_1", "conv2_2"))
         x = pool(x)
@@ -149,6 +159,7 @@ def ssd_512(
     config: Optional[SSDConfig] = None,
     mode: str = "training",
     compute_dtype: Any = jnp.float32,
+    s2d_trunk: bool = True,
     **config_overrides,
 ):
     """Build an SSD512 model. Returns ``(module, predictor_sizes)``."""
@@ -157,6 +168,6 @@ def ssd_512(
     elif config_overrides:
         raise ValueError("Pass either a config or overrides, not both.")
     module = SSD512(config=config, mode=validate_mode(mode),
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype, s2d_trunk=s2d_trunk)
     sizes = ssd512_predictor_sizes(config.img_height, config.img_width)
     return module, np.array(sizes)

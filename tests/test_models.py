@@ -133,6 +133,42 @@ def test_s2d_conv_kernel_rejects_unsupported_kernels():
         s2d_conv_kernel(jnp.zeros((4, 4, 4, 8)), jnp.zeros((8,)))
 
 
+def test_ssd300_s2d_trunk_matches_plain():
+    """conv1_1 in space-to-depth form (models/ssd300.py:SSD300.s2d_trunk) is
+    an exact rewrite: same parameter tree (plain (3,3,3,64) conv1_1 layout,
+    so .h5 ports are unaffected), matching predictions."""
+    cfg = SSDConfig.ssd300(n_classes=4)
+    m_plain, _ = ssd_300(cfg, s2d_trunk=False)
+    m_s2d, _ = ssd_300(cfg, s2d_trunk=True)
+    x = np.random.RandomState(2).rand(1, 300, 300, 3).astype(np.float32) * 255
+    v = m_plain.init(jax.random.PRNGKey(0), x)
+    v2 = m_s2d.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    assert v2["params"]["conv1_1"]["kernel"].shape == (3, 3, 3, 64)
+    y_plain = np.asarray(m_plain.apply(v, x))
+    y_s2d = np.asarray(m_s2d.apply(v, x))
+    # Isolated, the transform matches to conv-accumulation noise (~5e-4 abs
+    # on outputs of magnitude ~1e3); through 20 VGG layers + softmax that
+    # noise grows to ~1e-3. A wrong tap would err by ~1e1.
+    np.testing.assert_allclose(y_s2d, y_plain, rtol=1e-3, atol=1e-3)
+
+
+def test_ssd512_s2d_trunk_param_tree_and_fallback():
+    """SSD512's s2d_trunk keeps the plain conv1_1 parameter layout, and odd
+    input sizes degrade gracefully to the plain graph (no s2d possible)."""
+    cfg = SSDConfig.ssd512(n_classes=4)
+    m, _ = ssd_512(cfg, s2d_trunk=True)
+    x = jnp.zeros((1, 512, 512, 3), jnp.float32)
+    variables = jax.eval_shape(m.init, jax.random.PRNGKey(0), x)
+    assert variables["params"]["conv1_1"]["kernel"].shape == (3, 3, 3, 64)
+
+    cfg_odd = SSDConfig.ssd300(n_classes=4, img_height=301, img_width=300)
+    m_odd, _ = ssd_300(cfg_odd, s2d_trunk=True)
+    x_odd = jnp.zeros((1, 301, 300, 3), jnp.float32)
+    v_odd = jax.eval_shape(m_odd.init, jax.random.PRNGKey(0), x_odd)
+    assert v_odd["params"]["conv1_1"]["kernel"].shape == (3, 3, 3, 64)
+
+
 def test_ssd7_s2d_trunk_odd_input_falls_back():
     """Odd input sizes can't space-to-depth; the flag degrades gracefully."""
     cfg = SSDConfig.ssd7(n_classes=3, img_height=65, img_width=96)
