@@ -169,56 +169,69 @@ def main():
                 [jnp.asarray(arr[i: i + chunk]) for i in range(0, len(arr), chunk)]
             )
 
-        tr_imgs, tr_padded, tr_counts = materialize_split(train_ds)
         n_dev = 1 if mesh is None else int(mesh.devices.size)
-        hbm_gb = tr_imgs.nbytes / 2**30 / n_dev
-        if hbm_gb > args.hbm_dataset_gb:
-            raise SystemExit(
-                f"train split is {hbm_gb:.1f} GiB of uint8 per device, over "
-                f"the --hbm_dataset_gb {args.hbm_dataset_gb} budget; raise "
-                "it or drop --device_pipeline for the streaming host chain."
-            )
-        print(f"device-resident train split: {len(tr_imgs)} images "
-              f"({hbm_gb:.2f} GiB uint8 per device x {n_dev})")
-        if mesh is not None:
-            n = len(tr_imgs) // n_dev * n_dev  # sharded axis must divide evenly
-            d_imgs = sh.upload_sharded(tr_imgs[:n], mesh)
-            d_padded = sh.upload_sharded(tr_padded[:n], mesh)
-            d_counts = sh.upload_sharded(tr_counts[:n], mesh)
-            bsh = sh.batch_sharding(mesh)
-            gather = jax.jit(
-                lambda a, p, c, i: (jnp.take(a, i, axis=0),
-                                    jnp.take(p, i, axis=0),
-                                    jnp.take(c, i, axis=0)),
-                out_shardings=(bsh, bsh, bsh),
-            )
+        est_gb = train_ds.get_dataset_size() * 300 * 300 * 3 / 2**30 / n_dev
+        if est_gb > args.hbm_dataset_gb:
+            # Dataset exceeds the per-device HBM budget: stream uint8
+            # batches through the double-buffered upload pipeline instead
+            # of materializing the split on-chip. The device programs
+            # (augment + encode) are identical; only image delivery changes
+            # (VERDICT r3 #6; data/streaming.py).
+            from ssd_keras_tpu.data.streaming import (
+                StreamingDeviceInput, host_decode_batches)
+
+            print(f"train split ~{est_gb:.1f} GiB uint8 per device exceeds "
+                  f"--hbm_dataset_gb {args.hbm_dataset_gb}; streaming the "
+                  "device pipeline (double-buffered uint8 uploads)")
+            train_generator = iter(StreamingDeviceInput(
+                host_decode_batches(train_ds, args.batch_size, 300, 300,
+                                    encoder.max_gt_boxes),
+                device_aug, encoder, key=jax.random.PRNGKey(0),
+            ))
         else:
-            d_imgs = to_device_chunked(tr_imgs)
-            d_padded = jnp.asarray(tr_padded)
-            d_counts = jnp.asarray(tr_counts)
-            gather = jax.jit(
-                lambda a, p, c, i: (jnp.take(a, i, axis=0),
-                                    jnp.take(p, i, axis=0),
-                                    jnp.take(c, i, axis=0)),
-            )
-        del tr_imgs, tr_padded, tr_counts
-
-        def train_gen():
-            key = jax.random.PRNGKey(0)
-            rng = np.random.RandomState(0)
-            order, ptr = rng.permutation(len(d_imgs)), 0
-            while True:
-                if ptr + args.batch_size > len(order):
-                    order, ptr = rng.permutation(len(d_imgs)), 0
-                idx = jnp.asarray(order[ptr: ptr + args.batch_size])
-                ptr += args.batch_size
-                key, sub = jax.random.split(key)
-                imgs, lbls, counts = device_aug(
-                    sub, *gather(d_imgs, d_padded, d_counts, idx)
+            tr_imgs, tr_padded, tr_counts = materialize_split(train_ds)
+            hbm_gb = tr_imgs.nbytes / 2**30 / n_dev
+            print(f"device-resident train split: {len(tr_imgs)} images "
+                  f"({hbm_gb:.2f} GiB uint8 per device x {n_dev})")
+            if mesh is not None:
+                n = len(tr_imgs) // n_dev * n_dev  # sharded axis must divide evenly
+                d_imgs = sh.upload_sharded(tr_imgs[:n], mesh)
+                d_padded = sh.upload_sharded(tr_padded[:n], mesh)
+                d_counts = sh.upload_sharded(tr_counts[:n], mesh)
+                bsh = sh.batch_sharding(mesh)
+                gather = jax.jit(
+                    lambda a, p, c, i: (jnp.take(a, i, axis=0),
+                                        jnp.take(p, i, axis=0),
+                                        jnp.take(c, i, axis=0)),
+                    out_shardings=(bsh, bsh, bsh),
                 )
-                yield imgs, encoder.encode_padded(lbls, counts)
+            else:
+                d_imgs = to_device_chunked(tr_imgs)
+                d_padded = jnp.asarray(tr_padded)
+                d_counts = jnp.asarray(tr_counts)
+                gather = jax.jit(
+                    lambda a, p, c, i: (jnp.take(a, i, axis=0),
+                                        jnp.take(p, i, axis=0),
+                                        jnp.take(c, i, axis=0)),
+                )
+            del tr_imgs, tr_padded, tr_counts
 
-        train_generator = train_gen()
+            def train_gen():
+                key = jax.random.PRNGKey(0)
+                rng = np.random.RandomState(0)
+                order, ptr = rng.permutation(len(d_imgs)), 0
+                while True:
+                    if ptr + args.batch_size > len(order):
+                        order, ptr = rng.permutation(len(d_imgs)), 0
+                    idx = jnp.asarray(order[ptr: ptr + args.batch_size])
+                    ptr += args.batch_size
+                    key, sub = jax.random.split(key)
+                    imgs, lbls, counts = device_aug(
+                        sub, *gather(d_imgs, d_padded, d_counts, idx)
+                    )
+                    yield imgs, encoder.encode_padded(lbls, counts)
+
+            train_generator = train_gen()
     else:
         augmentation = SSDDataAugmentation(img_height=300, img_width=300)
         train_generator = train_ds.generate(

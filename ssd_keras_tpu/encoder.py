@@ -221,6 +221,8 @@ class SSDInputEncoder:
         self.predictor_sizes = [tuple(int(v) for v in s) for s in predictor_sizes]
         self.max_gt_boxes = int(max_gt_boxes)
         self.dtype = dtype
+        self.mesh = mesh
+        self.axis_name = axis_name
         self.anchors8 = jnp.asarray(config.anchor_tensor(self.predictor_sizes), dtype=dtype)
         self.n_boxes_total = int(self.anchors8.shape[0])
         self._static = dict(
