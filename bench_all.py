@@ -108,6 +108,26 @@ def main():
         add(f"ssd7 inference(bn-folded) batch {batch}",
             r["ms_per_batch"], r["fps"], BASELINE_FPS.get(("ssd7", batch)))
 
+    # --- On-device chained rows: the chip's own per-batch time ---
+    # The dispatch-inclusive rows above pay ~0.3-1.0 ms of access-tunnel
+    # launch round-trip per call (absent on a directly-attached TPU host) —
+    # visible only at SSD7's sub-5ms absolute latencies. These rows remove
+    # it with the two-point in-jit calibration (utils/profiling.time_in_jit;
+    # methodology in docs/benchmarks/profile.md).
+    from ssd_keras_tpu.utils.profiling import time_in_jit
+
+    x7_8 = jnp.asarray(np.random.rand(8, 300, 480, 3).astype(np.float32) * 255)
+    ms = time_in_jit(lambda b: model7f.apply(v7f, b), x7_8)
+    add("ssd7 inference(bn-folded) batch 8 on-device chained", ms, 8 / ms * 1000,
+        BASELINE_FPS.get(("ssd7", 8)))
+    model300, _ = ssd_300(SSDConfig.ssd300(), mode="inference",
+                          compute_dtype=jnp.bfloat16)
+    x300_8 = jnp.asarray(np.random.rand(8, 300, 300, 3).astype(np.float32) * 255)
+    v300 = jax.jit(model300.init)(jax.random.PRNGKey(0), x300_8[:1])
+    ms = time_in_jit(lambda b: model300.apply(v300, b), x300_8)
+    add("ssd300 inference batch 8 on-device chained", ms, 8 / ms * 1000,
+        BASELINE_FPS.get(("ssd300", 8)))
+
     # --- COCO class count (81 incl. background): 4x the decode lanes ---
     cfg_coco = SSDConfig.ssd300(n_classes=80, dataset="coco")
     model_c, _ = ssd_300(cfg_coco, mode="inference", compute_dtype=jnp.bfloat16)

@@ -39,48 +39,13 @@ import numpy as np
 
 from ssd_keras_tpu import SSDConfig
 from ssd_keras_tpu.models import ssd_7, ssd_300
-from ssd_keras_tpu.utils.profiling import benchmark_fps
+from ssd_keras_tpu.utils.profiling import benchmark_fps, time_in_jit as _time_in_jit
+
+
+def time_in_jit(fn, *args, reps=None, repeats=3):
+    return _time_in_jit(fn, *args, reps=reps or REPS, repeats=repeats)
 
 REPS = (50, 250)
-
-
-def time_in_jit(fn, *args, reps=REPS, repeats=3):
-    """ms per call of ``fn(*args)`` via an in-jit fori_loop with the output
-    folded into the first argument (defeats LICM and per-call dispatch).
-
-    A single synchronous program execution through this environment's TPU
-    tunnel costs ~30 ms of launch round-trip regardless of compute (measured:
-    a (8,8) elementwise loop takes 32.5/36/39.7 ms total at 10/50/200
-    iterations). Timing ONE loop therefore overstates short stages by
-    ~30/reps ms. Measuring at two iteration counts and taking the slope
-    (T(r2) - T(r1)) / (r2 - r1) cancels the fixed launch cost exactly.
-    """
-
-    def timed_loop(r):
-        @jax.jit
-        def loop(*a):
-            def body(_, carry):
-                first, rest = carry[0], carry[1:]
-                out = fn(first, *rest)
-                leaf = jax.tree_util.tree_leaves(out)[0]
-                s = jnp.sum(leaf).astype(first.dtype) * 0
-                return (first + s, *rest)
-
-            return jax.lax.fori_loop(0, r, body, a)[0]
-
-        out = loop(*args)  # compile
-        jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-        best = None
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            out = loop(*args)
-            jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        return best
-
-    r1, r2 = reps
-    return (timed_loop(r2) - timed_loop(r1)) / (r2 - r1) * 1000.0
 
 
 def ssd300_breakdown(batch):

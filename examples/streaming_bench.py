@@ -1,0 +1,197 @@
+"""Streaming device-pipeline throughput vs the uint8 upload ceiling.
+
+The streaming path (data/streaming.py) exists for datasets bigger than HBM:
+uint8 batches cross the host->device link every step instead of once. Its
+throughput bound is therefore the link's own uint8 bandwidth — this script
+measures (1) that ceiling for 300x300x3 uint8 frames, (2) what
+``StreamingDeviceInput`` delivers end-to-end (upload + on-device augment +
+target encode), and (3) the steady img/s with an SSD300 train step
+consuming the stream — the honest "streaming training" number for this
+environment.
+
+The host source is pre-generated in-RAM batches: this isolates the pipeline
+(upload/augment/encode overlap) from the box's 1-core JPEG-decode rate,
+which is a property of the host, not of the pipeline. On a
+directly-attached TPU host the same pipeline's ceiling is PCIe DMA
+(~10 GB/s = ~37k img/s at 0.27 MB/image), far above any SSD train step;
+through the access tunnel the link is the floor exactly as it is for
+serving (docs/benchmarks/h2d_ceiling.md).
+
+Timing note: block_until_ready is unreliable through the tunnel, so every
+measurement ends in a data-dependent device_get.
+
+Usage: python examples/streaming_bench.py [--batches 24] [--batch 32]
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+from collections import deque
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(tempfile.gettempdir(), "ssd_keras_tpu_jaxcache"),
+)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssd_keras_tpu import SSDConfig, SSDInputEncoder, SSDLoss
+from ssd_keras_tpu import train as T
+from ssd_keras_tpu.data.device_aug import DeviceSSDAugmentation
+from ssd_keras_tpu.data.streaming import StreamingDeviceInput
+from ssd_keras_tpu.models import ssd_300
+
+H = W = 300
+MAX_GT = 16
+
+
+def synth_batches(n_batches, batch, seed=0):
+    """Pre-generated uint8 batches + padded labels, then an endless cycle."""
+    rng = np.random.RandomState(seed)
+    store = []
+    for _ in range(n_batches):
+        imgs = rng.randint(0, 256, (batch, H, W, 3), np.uint8)
+        labels = np.zeros((batch, MAX_GT, 5), np.float32)
+        counts = rng.randint(1, 6, (batch,)).astype(np.int32)
+        for b in range(batch):
+            for m in range(counts[b]):
+                x0, y0 = rng.randint(0, W - 60), rng.randint(0, H - 60)
+                bw, bh = rng.randint(30, 60, 2)
+                labels[b, m] = (rng.randint(1, 21), x0, y0, x0 + bw, y0 + bh)
+        store.append((imgs, labels, counts))
+    return store
+
+
+def cycle(store, n):
+    for i in range(n):
+        yield store[i % len(store)]
+
+
+def measure_link_ceiling(store, n_repeats=3):
+    """Pipelined raw uint8 uploads of the same batches; img/s."""
+    reduce_fn = jax.jit(lambda a: a.astype(jnp.int32).sum())
+    jax.device_get(reduce_fn(jax.device_put(store[0][0])))
+    n_imgs = sum(len(b[0]) for b in store)
+    best = None
+    for _ in range(n_repeats):
+        t0 = time.perf_counter()
+        sums = [reduce_fn(jax.device_put(b[0])) for b in store]
+        total = jax.device_get(jnp.stack(sums).sum())
+        dt = time.perf_counter() - t0
+        assert int(total) != 0
+        best = dt if best is None else min(best, dt)
+    mb = sum(b[0].nbytes for b in store) / 1e6
+    return n_imgs / best, mb / best
+
+
+def measure_stream(store, aug, enc, n_batches, batch):
+    """StreamingDeviceInput delivery rate: upload + augment + encode."""
+    tick = jax.jit(lambda y: y[..., 0].sum())
+    # Compile aug/encode/tick outside the timed window.
+    warm = StreamingDeviceInput(cycle(store, 2), aug, enc, n_workers=1)
+    for _, y in warm:
+        jax.device_get(tick(y))
+
+    stream = StreamingDeviceInput(cycle(store, n_batches), aug, enc,
+                                  depth=3, n_workers=1)
+    pending = deque()
+    t0 = time.perf_counter()
+    n = 0
+    for _, y in stream:
+        pending.append(tick(y))
+        n += 1
+        if len(pending) > 2:
+            jax.device_get(pending.popleft())
+    while pending:
+        jax.device_get(pending.popleft())
+    dt = time.perf_counter() - t0
+    return n * batch / dt
+
+
+def measure_stream_train(store, aug, enc, n_batches, batch):
+    """Steady img/s with an SSD300 bf16 train step consuming the stream."""
+    model, _ = ssd_300(SSDConfig.ssd300(n_classes=20),
+                       compute_dtype=jnp.bfloat16)
+    tx = T.sgd_with_momentum(learning_rate=1e-4, momentum=0.9, clipnorm=5.0)
+    state = T.create_train_state(
+        model, jax.random.PRNGKey(0),
+        np.zeros((1, H, W, 3), np.float32), tx)
+    train_step = T.make_train_step(model, SSDLoss(), l2_reg=5e-4)
+
+    warm = StreamingDeviceInput(cycle(store, 2), aug, enc, n_workers=1)
+    for imgs, y in warm:
+        state, m = train_step(state, imgs, y)
+    jax.device_get(m["loss"])
+
+    stream = StreamingDeviceInput(cycle(store, n_batches), aug, enc,
+                                  depth=3, n_workers=1)
+    t0 = time.perf_counter()
+    n = 0
+    for imgs, y in stream:
+        state, m = train_step(state, imgs, y)
+        n += 1
+    loss = float(jax.device_get(m["loss"]))  # forces the whole chain
+    dt = time.perf_counter() - t0
+    assert np.isfinite(loss)
+    return n * batch / dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batches", type=int, default=24,
+                   help="timed batches per measurement")
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--store", type=int, default=6,
+                   help="distinct pre-generated batches cycled through")
+    p.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "..", "docs", "benchmarks",
+        "streaming_pipeline.md"))
+    args = p.parse_args()
+
+    store = synth_batches(args.store, args.batch)
+    aug = DeviceSSDAugmentation(H, W)
+    enc = SSDInputEncoder(SSDConfig.ssd300(n_classes=20),
+                          [(38, 38), (19, 19), (10, 10), (5, 5), (3, 3),
+                           (1, 1)], max_gt_boxes=MAX_GT)
+
+    ceiling, mbps = measure_link_ceiling(store)
+    stream = measure_stream(store, aug, enc, args.batches, args.batch)
+    trained = measure_stream_train(store, aug, enc, args.batches, args.batch)
+
+    record = {
+        "img_shape": f"{H}x{W}x3 uint8",
+        "batch": args.batch,
+        "link_uint8_mb_per_s": round(mbps, 1),
+        "link_ceiling_img_per_s": round(ceiling, 1),
+        "stream_aug_encode_img_per_s": round(stream, 1),
+        "stream_fraction_of_ceiling": round(stream / ceiling, 3),
+        "stream_train_img_per_s": round(trained, 1),
+        "train_fraction_of_ceiling": round(trained / ceiling, 3),
+        "pcie_host_ceiling_img_per_s_at_10GBps": round(10e9 / (H * W * 3), 0),
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write("# Streaming device pipeline vs the uint8 upload ceiling\n\n")
+        f.write(
+            "`StreamingDeviceInput` (datasets bigger than HBM, VERDICT r3 "
+            "#6) measured against the link's own pipelined uint8 bandwidth "
+            "for the same batches. Through the access tunnel the link is "
+            "the floor — the pipeline's job is to sit on that floor "
+            "(fraction_of_ceiling ~= 1) while augment + encode + the train "
+            "step hide underneath the transfers. On a directly-attached "
+            "host the identical pipeline's ceiling is PCIe DMA "
+            "(`pcie_host_ceiling_img_per_s_at_10GBps`), far above any SSD "
+            "train step's consumption rate.\n\n"
+        )
+        f.write("```json\n" + json.dumps(record, indent=2) + "\n```\n")
+    print("RESULT " + json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()

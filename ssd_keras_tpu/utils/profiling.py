@@ -21,7 +21,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["trace", "benchmark_fps", "device_sync"]
+__all__ = ["trace", "benchmark_fps", "device_sync", "time_in_jit"]
 
 
 @contextlib.contextmanager
@@ -39,6 +39,47 @@ def device_sync(x=None):
     if x is None:
         x = jnp.zeros(())
     jax.device_get(x)
+
+
+def time_in_jit(fn, *args, reps=(50, 250), repeats=3):
+    """ms per call of ``fn(*args)`` via an in-jit fori_loop with the output
+    folded into the first argument (defeats LICM and per-call dispatch).
+
+    A single synchronous program execution through a remote-attached TPU
+    tunnel costs ~30 ms of launch round-trip regardless of compute. Timing
+    ONE loop therefore overstates short stages by ~30/reps ms; measuring at
+    two iteration counts and taking the slope ``(T(r2) - T(r1)) / (r2 - r1)``
+    cancels the fixed launch cost exactly. This is the chip's own per-call
+    time — what a directly-attached host would see (examples/
+    profile_breakdown.py uses the same calibration; docs/benchmarks/
+    profile.md documents the methodology).
+    """
+
+    def timed_loop(r):
+        @jax.jit
+        def loop(*a):
+            def body(_, carry):
+                first, rest = carry[0], carry[1:]
+                out = fn(first, *rest)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                s = jnp.sum(leaf).astype(first.dtype) * 0
+                return (first + s, *rest)
+
+            return jax.lax.fori_loop(0, r, body, a)[0]
+
+        out = loop(*args)  # compile
+        jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = loop(*args)
+            jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    r1, r2 = reps
+    return (timed_loop(r2) - timed_loop(r1)) / (r2 - r1) * 1000.0
 
 
 def benchmark_fps(
