@@ -85,12 +85,14 @@ class SSD300(nn.Module):
     # Run conv1_1 as its space-to-depth equivalent (exact; see
     # models/layers.py:s2d_conv_kernel). The 3x3 cin=3 conv on the full-res
     # image fills 27 of the MXU's 128 contraction lanes; the transform runs
-    # it at 108 lanes on a 4x smaller grid (the 4x FLOP inflation of the
-    # s2d form is a win only at cin=3 — conv1_2 at cin=64 is already dense
-    # and stays in plain form, paying one depth_to_space relayout).
-    # Parameters keep the plain (3,3,3,64) layout, so checkpoints and .h5
-    # ports are unaffected. Applies when the input size is even.
-    s2d_trunk: bool = True
+    # it at 108 lanes on a 4x smaller grid. Measured OFF by default at
+    # 300/512 scale: the 4x FLOP inflation of the overlapping-tap s2d form
+    # plus the depth_to_space relayout costs more than the underfill saves
+    # on grids this large (docs/benchmarks/s2d_trunk.md — batch-8 e2e
+    # 1277 -> 1100 img/s with it on). SSD7's 128x128 conv1 is the case
+    # where it wins (models/ssd7.py). Parameters keep the plain (3,3,3,64)
+    # layout either way, so checkpoints and .h5 ports are unaffected.
+    s2d_trunk: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -174,7 +176,7 @@ def ssd_300(
     config: Optional[SSDConfig] = None,
     mode: str = "training",
     compute_dtype: Any = jnp.float32,
-    s2d_trunk: bool = True,
+    s2d_trunk: bool = False,
     **config_overrides,
 ):
     """Build an SSD300 model. Returns ``(module, predictor_sizes)``.

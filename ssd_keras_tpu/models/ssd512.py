@@ -74,8 +74,9 @@ class SSD512(nn.Module):
     mode: str = "training"
     compute_dtype: Any = jnp.float32
     # conv1_1 in space-to-depth form (exact; see SSD300.s2d_trunk — same
-    # 27-of-128-lane underfill, same plain parameter layout on disk).
-    s2d_trunk: bool = True
+    # plain parameter layout on disk). Measured off by default: a net loss
+    # at 512 scale (docs/benchmarks/s2d_trunk.md).
+    s2d_trunk: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -159,7 +160,7 @@ def ssd_512(
     config: Optional[SSDConfig] = None,
     mode: str = "training",
     compute_dtype: Any = jnp.float32,
-    s2d_trunk: bool = True,
+    s2d_trunk: bool = False,
     **config_overrides,
 ):
     """Build an SSD512 model. Returns ``(module, predictor_sizes)``."""
