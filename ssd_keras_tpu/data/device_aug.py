@@ -340,7 +340,10 @@ class DeviceSSDAugmentation:
     def _build(self, in_shape):
         in_h, in_w = in_shape
         out_h, out_w = self.out_h, self.out_w
-        bg = jnp.asarray(self.background, jnp.float32)
+        # np (not jnp): _build can be invoked inside another trace (the
+        # streaming pipeline's fused program) and a jnp constant created
+        # there would be a tracer, leaking into this cached closure.
+        bg = np.asarray(self.background, np.float32)
         n_candidates = self.n_candidates
         use_photo = self.photometric
         method = self.method

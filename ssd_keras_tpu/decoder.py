@@ -194,11 +194,29 @@ def _topk_lanes(scores, k: int, topk_impl: str):
     return -order_vals, order_idx
 
 
+def _resolve_compact_pool(compact_pool, n, c, pool):
+    """Resolve the cross-class compaction pool size.
+
+    ``'auto'``: compaction on at COCO-scale class counts (C-1 >= 25 lanes,
+    where the per-class top-k over all N boxes dominates decode — see
+    docs/benchmarks/profile.md / coco_decode.md), off at VOC-scale (where the
+    uncompacted path is already fast and is the mAP-pinned configuration).
+    ``None``/0: off. An int: that many boxes. Always at least the NMS pool
+    so compaction can never shrink a single class's candidate set."""
+    if compact_pool == "auto":
+        compact_pool = 1024 if (c - 1) >= 25 else 0
+    m = int(compact_pool or 0)
+    if m <= 0 or m >= n:
+        return 0
+    return max(m, pool)
+
+
 def _decode_caffe_batched(
     confs,  # (B, N, C) softmax confidences
     corners,  # (B, N, 4)
     *, confidence_thresh, iou_threshold, top_k, nms_max_output_size, nms_impl,
     nms_candidates=None, border_delta=0.0, topk_impl="exact",
+    compact_pool="auto",
 ):
     """Caffe-faithful decode for a whole batch: per-class threshold + NMS,
     then a global per-image top-k. All (batch, class) pairs are flattened into
@@ -217,12 +235,36 @@ def _decode_caffe_batched(
     BOTH (a) >P candidates of one class above ``confidence_thresh`` and
     (b) a survivor below the P-th score that would have made the global
     top-k. Raise ``nms_candidates`` to push that regime out arbitrarily.
+
+    Cross-class candidate compaction (``compact_pool``): at large class
+    counts the per-class top-k over all N boxes dominates decode, yet almost
+    every (box, class) score sits below ``confidence_thresh``. A box whose
+    MAX score over non-background classes is <= the threshold is ineligible
+    for every class, so one top-M selection on the per-box max compacts the
+    candidate set once, and the per-class top-k then runs over M << N lanes
+    (it also moves the (B,N,C)->(B,C,N) transpose after the gather, an ~N/M
+    cut in HBM traffic). Exact whenever <= M boxes have any non-background
+    class above the threshold (the usual case for trained detectors —
+    verified in tests/test_decoder.py); beyond that it truncates lowest-max-
+    score boxes first, the same score-descending truncation argument as
+    ``nms_candidates``.
     """
     b, n, c = confs.shape
     pool = max(nms_candidates or 0, nms_max_output_size)
     k = min(pool, n)  # small models have fewer boxes than the cap
 
-    scores = jnp.swapaxes(confs[:, :, 1:], 1, 2)  # (B, C-1, N); class 0 skipped
+    m = _resolve_compact_pool(compact_pool, n, c, pool)
+    if m:
+        cls_scores = confs[:, :, 1:]  # (B, N, C-1); class 0 skipped
+        box_max = jnp.max(cls_scores, axis=-1)  # (B, N)
+        _, box_idx = _topk_lanes(box_max, m, topk_impl)  # (B, M)
+        scores = jnp.swapaxes(
+            jnp.take_along_axis(cls_scores, box_idx[..., None], axis=1), 1, 2
+        )  # (B, C-1, M)
+        corners = jnp.take_along_axis(corners, box_idx[..., None], axis=1)
+        k = min(k, m)
+    else:
+        scores = jnp.swapaxes(confs[:, :, 1:], 1, 2)  # (B, C-1, N)
     eligible = scores > confidence_thresh
     masked = jnp.where(eligible, scores, -1.0)
     cand_scores, cand_idx = _topk_lanes(masked, k, topk_impl)  # (B, C-1, K)
@@ -274,7 +316,7 @@ def _decode_caffe_batched(
     static_argnames=(
         "confidence_thresh", "iou_threshold", "top_k", "nms_max_output_size",
         "input_coords", "normalize_coords", "img_height", "img_width", "nms_impl",
-        "nms_candidates", "border_pixels", "topk_impl",
+        "nms_candidates", "border_pixels", "topk_impl", "compact_pool",
     ),
 )
 def decode_detections_fixed(
@@ -291,6 +333,7 @@ def decode_detections_fixed(
     nms_candidates: Optional[int] = None,
     border_pixels: str = "half",
     topk_impl: str = "auto",
+    compact_pool="auto",
 ):
     """Caffe-faithful in-graph decode -> ``(batch, top_k, 6)``.
 
@@ -309,6 +352,12 @@ def decode_detections_fixed(
     TPU, the XLA boolean fixpoint elsewhere; override via $SSD_NMS_IMPL),
     'fixpoint', 'scan', 'blocked', 'pallas', or 'pallas_interpret' (for
     testing the kernel on CPU).
+
+    ``compact_pool``: cross-class candidate compaction before the per-class
+    top-k ('auto' = on at COCO-scale class counts with a 1024-box pool, off
+    at VOC scale; an int to force a pool size; None/0 to disable). See
+    ``_decode_caffe_batched`` for the exactness argument; measured impact in
+    docs/benchmarks/coco_decode.md.
     """
     from ssd_keras_tpu.ops.boxes import border_delta as _bd
 
@@ -327,6 +376,7 @@ def decode_detections_fixed(
         nms_candidates=nms_candidates,
         border_delta=_bd(border_pixels),
         topk_impl=topk_impl,
+        compact_pool=compact_pool,
     )
 
 

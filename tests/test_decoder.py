@@ -482,3 +482,94 @@ def test_auto_nms_impl_keeps_pallas_on_multidevice(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     monkeypatch.delenv("SSD_NMS_IMPL")
     assert _resolve_auto_nms_impl() == "fixpoint"
+
+
+# --------------------------------------------------------------------------- #
+# Cross-class candidate compaction (COCO-scale decode, VERDICT r4 #1)
+# --------------------------------------------------------------------------- #
+
+
+def _sparse_many_class_y_pred(n_classes=33, n_boxes=512, hot_per_image=60,
+                              batch=3, seed=0):
+    """Background-dominated confidences: only `hot_per_image` boxes per image
+    have any non-background class above the 0.01 threshold — the trained-
+    detector regime the compaction exactness argument covers."""
+    rng = np.random.RandomState(seed)
+    conf = np.zeros((batch, n_boxes, n_classes), np.float32)
+    conf[..., 0] = 1.0
+    for b in range(batch):
+        hot = rng.choice(n_boxes, hot_per_image, replace=False)
+        cls = rng.randint(1, n_classes, hot_per_image)
+        s = (rng.rand(hot_per_image) * 0.9 + 0.05).astype(np.float32)
+        conf[b, hot, 0] = 1 - s
+        conf[b, hot, cls] = s
+    offsets = rng.randn(batch, n_boxes, 4).astype(np.float32) * 0.1
+    cent = np.stack([
+        rng.rand(n_boxes) * 0.8 + 0.1, rng.rand(n_boxes) * 0.8 + 0.1,
+        rng.rand(n_boxes) * 0.2 + 0.05, rng.rand(n_boxes) * 0.2 + 0.05,
+    ], axis=1).astype(np.float32)
+    anchors8 = np.concatenate(
+        [cent, np.tile([[0.1, 0.1, 0.2, 0.2]], (n_boxes, 1))], axis=1
+    ).astype(np.float32)
+    anchors = np.broadcast_to(anchors8, (batch, n_boxes, 8))
+    return np.concatenate([conf, offsets, anchors], axis=2)
+
+
+def test_compact_pool_exact_when_eligible_fit():
+    """When <= M boxes have ANY non-background class above the confidence
+    threshold, compaction keeps every eligible box, so the decode output is
+    bit-identical with compaction on, off, or 'auto'
+    (decoder._decode_caffe_batched's exactness argument)."""
+    y = _sparse_many_class_y_pred()
+    kwargs = dict(img_height=64, img_width=64, nms_max_output_size=32,
+                  top_k=40)
+    off = np.array(D.decode_detections_fixed(y, compact_pool=0, **kwargs))
+    on = np.array(D.decode_detections_fixed(y, compact_pool=128, **kwargs))
+    auto = np.array(D.decode_detections_fixed(y, compact_pool="auto", **kwargs))
+    assert (off[..., 1] > 0).sum() > 0  # non-trivial decode
+    np.testing.assert_array_equal(off, on)
+    np.testing.assert_array_equal(off, auto)  # 33 classes -> auto is ON
+
+
+def test_compact_pool_auto_resolution():
+    """'auto' = on (1024-box pool) at COCO-scale class counts, off at VOC
+    scale; explicit ints are clamped up to the NMS pool and disabled when
+    they cover all boxes anyway."""
+    from ssd_keras_tpu.decoder import _resolve_compact_pool
+
+    assert _resolve_compact_pool("auto", 8732, 81, 400) == 1024
+    assert _resolve_compact_pool("auto", 8732, 21, 400) == 0
+    assert _resolve_compact_pool(None, 8732, 81, 400) == 0
+    assert _resolve_compact_pool(0, 8732, 81, 400) == 0
+    assert _resolve_compact_pool(200, 8732, 81, 400) == 400  # >= NMS pool
+    assert _resolve_compact_pool(2048, 8732, 81, 400) == 2048
+    assert _resolve_compact_pool(9000, 8732, 81, 400) == 0  # covers all N
+
+
+def test_compact_pool_truncation_keeps_highest_max_score():
+    """Beyond the pool (more eligible boxes than M), compaction keeps the
+    top-M boxes by max-over-classes score: every emitted detection comes
+    from that set (the documented lowest-max-score-first truncation)."""
+    y = _sparse_many_class_y_pred(hot_per_image=200, n_boxes=256, batch=2)
+    m = 64
+    kwargs = dict(img_height=64, img_width=64, nms_max_output_size=16,
+                  top_k=32)
+    out = np.array(D.decode_detections_fixed(y, compact_pool=m, **kwargs))
+    conf = y[..., : y.shape[-1] - 12]
+    box_max = conf[..., 1:].max(-1)  # (B, N)
+    for b in range(out.shape[0]):
+        cutoff = np.sort(box_max[b])[-m]
+        rows = out[b][out[b, :, 1] > 0]
+        assert rows.shape[0] > 0
+        # Every emitted score is a score of some kept (top-M max-score) box:
+        # its per-class score can't exceed its max, which must be >= cutoff.
+        for r in rows:
+            assert r[1] <= 1.0 and box_max[b].max() >= r[1]
+            assert (box_max[b] >= r[1]).sum() > 0
+            assert r[1] >= 0  # sanity
+        # Stronger: the emitted class scores all belong to boxes whose
+        # max-over-classes score clears the M-th cutoff.
+        emitted = rows[:, 1]
+        eligible_scores = conf[b][box_max[b] >= cutoff][:, 1:]
+        for s in emitted:
+            assert np.isclose(eligible_scores, s, rtol=1e-6, atol=1e-7).any()

@@ -49,7 +49,13 @@ def _pipeline(mesh=None):
 
 def test_stream_matches_direct_path():
     """Pipelining must not change content: each yielded batch equals the
-    direct aug+encode of the same host batch with the same per-batch key."""
+    direct aug+encode of the same host batch with the same per-batch key
+    (the key chain is iterated jax.random.split, preserved exactly by the
+    block-precomputed `_split_chain`). Pixels are bit-equal; encoded targets
+    match to float32 rounding — the stream runs augment+encode as ONE fused
+    XLA program (one launch per batch), whose fusion boundaries may round
+    intermediate box coordinates 1 ulp differently than the two-program
+    direct path."""
     aug, enc = _pipeline()
     key = jax.random.PRNGKey(7)
     stream = StreamingDeviceInput(_host_batches(5), aug, enc, key=key,
@@ -63,7 +69,7 @@ def test_stream_matches_direct_path():
         di, dl, dc = aug(sub, u8, padded, counts)
         dy = enc.encode_padded(dl, dc)
         np.testing.assert_array_equal(gi, np.asarray(di))
-        np.testing.assert_array_equal(gy, np.asarray(dy))
+        np.testing.assert_allclose(gy, np.asarray(dy), rtol=1e-5, atol=1e-6)
 
 
 def test_stream_host_error_propagates():
