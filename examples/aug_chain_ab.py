@@ -160,6 +160,19 @@ def train_arm(arm, args, cfg, model, encoder, data, curve_path):
 
     map_s, aps_s = evaluate("sample")
     map_i, _ = evaluate("integrate")
+
+    if args.save_ckpt:
+        # Keep the trained params around (e.g. for
+        # examples/evaluator_decode_agreement.py re-runs against a real
+        # trained score distribution without a fresh training run).
+        import orbax.checkpoint as ocp
+
+        path = os.path.join(os.path.abspath(args.save_ckpt),
+                            f"{arm}_seed{args.seed}", "ckpt_1")
+        ocp.StandardCheckpointer().save(
+            path, {"params": jax.device_get(trainer.state.params)})
+        print(f"[{arm}] checkpoint saved to {path}", flush=True)
+
     return {"arm": arm, "final_mAP_sample": map_s, "final_mAP_integrate": map_i,
             "aps_sample": aps_s}
 
@@ -176,6 +189,9 @@ def main():
     p.add_argument("--clipnorm", type=float, default=5.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--arms", default="device,host")
+    p.add_argument("--save-ckpt", default="",
+                   help="directory to save each arm's trained params into "
+                        "({arm}_seed{seed}/ckpt_1); empty = don't save")
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "..", "docs", "benchmarks"))
     args = p.parse_args()

@@ -11,7 +11,7 @@ data-parallel training over a ``jax.sharding.Mesh``.
 from ssd_keras_tpu.config import SSDConfig
 from ssd_keras_tpu.encoder import DegenerateBoxError, SSDInputEncoder
 from ssd_keras_tpu.loss import SSDLoss
-from ssd_keras_tpu.optimize import fold_batchnorm
+from ssd_keras_tpu.optimize import fold_batchnorm, fold_preprocessing
 from ssd_keras_tpu.predictor import SSDPredictor
 from ssd_keras_tpu.decoder import (
     decode_detections,
@@ -29,6 +29,7 @@ __all__ = [
     "SSDLoss",
     "SSDPredictor",
     "fold_batchnorm",
+    "fold_preprocessing",
     "decode_detections",
     "decode_detections_fast",
     "decode_detections_fixed",

@@ -26,12 +26,13 @@ which makes ``conv'(x) == bn(conv(x))`` exactly (up to float rounding).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["fold_batchnorm"]
+__all__ = ["fold_batchnorm", "fold_preprocessing"]
 
 
 def _detect_pairs(params: Dict, batch_stats: Dict) -> List[Tuple[str, str]]:
@@ -106,3 +107,61 @@ def fold_batchnorm(
         del params[bn_name]
 
     return {"params": params}
+
+
+def fold_preprocessing(variables: Dict, config, conv_name: str = "conv1_1"):
+    """Fold the channel swap + stddev division into the first conv's kernel.
+
+    The reference's in-graph preprocessing (keras_ssd300.py:247-272) is
+    mean-sub -> stddev-div -> channel-swap. The last two are a per-channel
+    linear map that fixes 0, so they commute with the conv's SAME zero
+    padding and fold EXACTLY into the first conv's input-channel axis:
+
+        kernel'[h, w, j, o] = kernel[h, w, inv_swap[j], o] / stddev[j]
+
+    Mean subtraction must STAY in-graph: it does not fix 0, so folding it
+    would change what the conv's border padding taps see (zero vs
+    -mean/std) and perturb the one-pixel output ring. The returned config
+    keeps ``subtract_mean`` and clears ``swap_channels`` /
+    ``divide_by_stddev``.
+
+    Args:
+      variables: model variables; ``params[conv_name]`` holds the HWIO
+        kernel of the first conv that consumes the preprocessed image.
+      config: the :class:`SSDConfig` the model was built with.
+      conv_name: first conv's parameter name (reference naming: 'conv1_1'
+        for SSD300/512, 'conv1' for SSD7).
+
+    Returns:
+      ``(variables', config')`` — rebuild the model from ``config'`` and
+      apply ``variables'``; outputs match the original to float rounding
+      (exact up to reassociation; pinned in tests/test_optimize.py).
+    """
+    swap = config.swap_channels
+    std = config.divide_by_stddev
+    if not swap and std is None:
+        raise ValueError(
+            "Neither swap_channels nor divide_by_stddev is set; "
+            "nothing to fold."
+        )
+    params = dict(variables["params"])
+    conv = dict(params[conv_name])
+    kernel = np.asarray(conv["kernel"], np.float64)
+    cin = kernel.shape[2]
+    if swap:
+        if sorted(swap) != list(range(cin)):
+            raise ValueError(f"swap_channels {swap} is not a permutation "
+                             f"of {cin} input channels.")
+        inv = np.argsort(np.asarray(swap))
+        kernel = kernel[:, :, inv, :]
+    if std is not None:
+        kernel = kernel / np.asarray(std, np.float64)[None, None, :, None]
+    dt = np.asarray(conv["kernel"]).dtype
+    conv["kernel"] = jnp.asarray(kernel.astype(dt))
+    params[conv_name] = conv
+    new_vars = dict(variables)
+    new_vars["params"] = params
+    new_cfg = dataclasses.replace(
+        config, swap_channels=None, divide_by_stddev=None
+    )
+    return new_vars, new_cfg

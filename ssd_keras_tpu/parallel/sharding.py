@@ -26,6 +26,7 @@ __all__ = [
     "shard_batch",
     "replicate",
     "upload_sharded",
+    "global_batch_from_local",
     "initialize_distributed",
 ]
 

@@ -87,8 +87,53 @@ def main():
     kernel_sum = float(jax.device_get(
         jnp.sum(jnp.abs(state.params["conv1"]["kernel"].astype(jnp.float32)))
     ))
+
+    # Streamed device input across processes (VERDICT r4 #3): each process
+    # feeds StreamingDeviceInput its LOCAL slice of a deterministic global
+    # uint8 batch sequence; the pipeline assembles global batch-sharded
+    # arrays with jax.make_array_from_process_local_data and runs the fused
+    # augment+encode program on the global mesh, feeding the same sharded
+    # train step. The parent compares the final loss against a
+    # single-process 8-device run of the identical global stream.
+    from ssd_keras_tpu.data.device_aug import DeviceSSDAugmentation
+    from ssd_keras_tpu.data.streaming import StreamingDeviceInput
+    from ssd_keras_tpu.encoder import SSDInputEncoder
+
+    def local_stream():
+        for u8, lbl, cnt in global_stream_batches():
+            lo_, hi_ = process_id * 4, (process_id + 1) * 4
+            yield u8[lo_:hi_], lbl[lo_:hi_], cnt[lo_:hi_]
+
+    aug = DeviceSSDAugmentation(64, 64, mesh=mesh)
+    enc = SSDInputEncoder(cfg, sizes, max_gt_boxes=8, mesh=mesh)
+    stream = StreamingDeviceInput(local_stream(), aug, enc,
+                                  key=jax.random.PRNGKey(5), n_workers=1)
+    n_streamed, s_metrics = 0, None
+    for s_imgs, s_y in stream:
+        assert s_imgs.shape[0] == 8, s_imgs.shape  # global batch
+        state, s_metrics = train_step(state, s_imgs, s_y)
+        n_streamed += 1
+    assert n_streamed == 2, n_streamed
+    s_loss = float(jax.device_get(s_metrics["loss"]))
+
     print(f"MULTIHOST_RESULT process={process_id} loss={loss:.8f} "
-          f"ksum={kernel_sum:.8f}", flush=True)
+          f"ksum={kernel_sum:.8f} sloss={s_loss:.8f}", flush=True)
+
+
+def global_stream_batches(n_batches: int = 2, global_b: int = 8,
+                          max_gt: int = 8):
+    """Deterministic global uint8 stream, identical in every process."""
+    r = np.random.RandomState(42)
+    for _ in range(n_batches):
+        u8 = r.randint(0, 256, (global_b, 64, 64, 3)).astype(np.uint8)
+        lbl = np.zeros((global_b, max_gt, 5), np.float32)
+        cnt = r.randint(1, 4, (global_b,)).astype(np.int32)
+        for b in range(global_b):
+            for m in range(cnt[b]):
+                x0, y0 = r.randint(0, 48, 2)
+                lbl[b, m] = (r.randint(1, 4), x0, y0,
+                             x0 + r.randint(8, 16), y0 + r.randint(8, 16))
+        yield u8, lbl, cnt
 
 
 if __name__ == "__main__":

@@ -65,8 +65,28 @@ def _single_process_reference() -> float:
     train_step = T.make_train_step(model, SSDLoss(), l2_reg=1e-4,
                                    mesh=mesh, donate=False)
     images, y_true = sh.global_batch_from_local((g_images, g_y), mesh)
-    _, metrics = train_step(state, images, y_true)
-    return float(jax.device_get(metrics["loss"]))
+    state, metrics = train_step(state, images, y_true)
+    first_loss = float(jax.device_get(metrics["loss"]))
+
+    # Continue exactly like the workers: the identical deterministic global
+    # stream through StreamingDeviceInput on this process's 8-device mesh
+    # (single-process: plain sharded pytree upload instead of
+    # make_array_from_process_local_data — same global content).
+    from multihost_worker import global_stream_batches
+
+    from ssd_keras_tpu.data.device_aug import DeviceSSDAugmentation
+    from ssd_keras_tpu.data.streaming import StreamingDeviceInput
+    from ssd_keras_tpu.encoder import SSDInputEncoder
+
+    aug = DeviceSSDAugmentation(64, 64, mesh=mesh)
+    enc = SSDInputEncoder(cfg, sizes, max_gt_boxes=8, mesh=mesh)
+    stream = StreamingDeviceInput(global_stream_batches(), aug, enc,
+                                  key=jax.random.PRNGKey(5), n_workers=1)
+    s_metrics = None
+    for s_imgs, s_y in stream:
+        state, s_metrics = train_step(state, s_imgs, s_y)
+    stream_loss = float(jax.device_get(s_metrics["loss"]))
+    return first_loss, stream_loss
 
 
 def _run_workers(port):
@@ -114,14 +134,22 @@ def test_two_process_data_parallel_matches_single_process(tmp_path):
     results = {}
     for out in outputs:
         m = re.search(
-            r"MULTIHOST_RESULT process=(\d) loss=([\d.]+) ksum=([\d.]+)", out
+            r"MULTIHOST_RESULT process=(\d) loss=([\d.]+) ksum=([\d.]+) "
+            r"sloss=([\d.]+)", out
         )
         assert m, f"no result line in:\n{out[-3000:]}"
-        results[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
+        results[int(m.group(1))] = (
+            float(m.group(2)), float(m.group(3)), float(m.group(4)))
 
     assert set(results) == {0, 1}
-    # Both processes observe the identical global loss and updated params.
+    # Both processes observe the identical global loss and updated params,
+    # including after the streamed-input steps.
     assert results[0] == results[1]
 
-    reference_loss = _single_process_reference()
+    reference_loss, reference_stream_loss = _single_process_reference()
     np.testing.assert_allclose(results[0][0], reference_loss, rtol=1e-5)
+    # The streamed path (per-process local shards assembled with
+    # make_array_from_process_local_data, fused augment+encode on the global
+    # mesh) must land on the same loss as the single-process streamed run.
+    np.testing.assert_allclose(results[0][2], reference_stream_loss,
+                               rtol=1e-5)

@@ -121,3 +121,69 @@ def test_explicit_pairs():
     ) + folded["params"]["c"]["bias"]
     np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+# --------------------------------------------------------------------------- #
+# Preprocessing fold (VERDICT r4 #6)
+# --------------------------------------------------------------------------- #
+
+
+def test_fold_preprocessing_exact():
+    """Channel swap + stddev division folded into conv1's kernel give the
+    same outputs as the in-graph preprocessing — including at the image
+    border, where the conv's SAME zero padding interacts with the folded
+    scale/permute (both fix 0, so the fold is exact; the mean subtraction
+    stays in-graph for exactly that reason)."""
+    import dataclasses
+
+    from ssd_keras_tpu import fold_preprocessing
+    from ssd_keras_tpu.models import ssd_7
+
+    cfg = dataclasses.replace(
+        SSDConfig.ssd7(n_classes=3, img_height=64, img_width=64),
+        swap_channels=(2, 0, 1),
+    )
+    assert cfg.subtract_mean and cfg.divide_by_stddev and cfg.swap_channels
+    model, _ = ssd_7(cfg)
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32) * 255)
+    v = model.init(jax.random.PRNGKey(0), x[:1])
+    y = model.apply(v, x, train=False)
+
+    v2, cfg2 = fold_preprocessing(v, cfg, conv_name="conv1")
+    assert cfg2.swap_channels is None and cfg2.divide_by_stddev is None
+    assert cfg2.subtract_mean == cfg.subtract_mean
+    model2, _ = ssd_7(cfg2)
+    y2 = model2.apply(v2, x, train=False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fold_preprocessing_requires_something_to_fold():
+    from ssd_keras_tpu import fold_preprocessing
+    from ssd_keras_tpu.models import ssd_7
+
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        SSDConfig.ssd7(n_classes=3, img_height=64, img_width=64),
+        divide_by_stddev=None, swap_channels=None,
+    )
+    model, _ = ssd_7(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    with pytest.raises(ValueError, match="nothing to fold"):
+        fold_preprocessing(v, cfg, conv_name="conv1")
+
+
+def test_fold_preprocessing_rejects_bad_swap():
+    import dataclasses
+
+    from ssd_keras_tpu import fold_preprocessing
+    from ssd_keras_tpu.models import ssd_7
+
+    cfg = SSDConfig.ssd7(n_classes=3, img_height=64, img_width=64)
+    model, _ = ssd_7(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    bad = dataclasses.replace(cfg, swap_channels=(0, 0, 1))
+    with pytest.raises(ValueError, match="not a permutation"):
+        fold_preprocessing(v, bad, conv_name="conv1")
