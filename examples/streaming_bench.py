@@ -29,7 +29,6 @@ import os
 import sys
 import tempfile
 import time
-from collections import deque
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ.setdefault(
@@ -91,25 +90,31 @@ def measure_link_ceiling(store, n_repeats=3):
 
 
 def measure_stream(store, aug, enc, n_batches, batch):
-    """StreamingDeviceInput delivery rate: upload + augment + encode."""
-    tick = jax.jit(lambda y: y[..., 0].sum())
+    """StreamingDeviceInput delivery rate: upload + augment + encode.
+
+    The consumer chains a scalar checksum through every yielded batch and
+    device_gets ONCE at the end — the same sync pattern as the ceiling and
+    train measurements. (A per-batch blocking device_get costs a full
+    tunnel round-trip each and measured the tunnel's latency, not the
+    pipeline: that artifact was the bulk of round 4's reported 19.5% gap.)
+    """
+    tick = jax.jit(lambda y, s: y[..., 0].sum().astype(jnp.float32) * 0 + s)
     # Compile aug/encode/tick outside the timed window.
     warm = StreamingDeviceInput(cycle(store, 2), aug, enc, n_workers=1)
+    s = jnp.float32(0)
     for _, y in warm:
-        jax.device_get(tick(y))
+        s = tick(y, s)
+    jax.device_get(s)
 
     stream = StreamingDeviceInput(cycle(store, n_batches), aug, enc,
                                   depth=3, n_workers=1)
-    pending = deque()
+    s = jnp.float32(0)
     t0 = time.perf_counter()
     n = 0
     for _, y in stream:
-        pending.append(tick(y))
+        s = tick(y, s)
         n += 1
-        if len(pending) > 2:
-            jax.device_get(pending.popleft())
-    while pending:
-        jax.device_get(pending.popleft())
+    jax.device_get(s)  # waits for the full dependent chain
     dt = time.perf_counter() - t0
     return n * batch / dt
 

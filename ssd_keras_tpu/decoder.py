@@ -199,12 +199,15 @@ def _resolve_compact_pool(compact_pool, n, c, pool):
 
     ``'auto'``: compaction on at COCO-scale class counts (C-1 >= 25 lanes,
     where the per-class top-k over all N boxes dominates decode — see
-    docs/benchmarks/profile.md / coco_decode.md), off at VOC-scale (where the
-    uncompacted path is already fast and is the mAP-pinned configuration).
-    ``None``/0: off. An int: that many boxes. Always at least the NMS pool
-    so compaction can never shrink a single class's candidate set."""
+    docs/benchmarks/profile.md / coco_decode.md; 512 measured best of
+    {256..2048} and +41% end-to-end at 81 classes), off at VOC-scale (where
+    the uncompacted path is the mAP-pinned configuration; M=512 measured
+    +11% there and is available opt-in pending trained-model mAP
+    validation). ``None``/0: off. An int: that many boxes. Always at least
+    the NMS pool so compaction can never shrink a single class's candidate
+    set."""
     if compact_pool == "auto":
-        compact_pool = 1024 if (c - 1) >= 25 else 0
+        compact_pool = 512 if (c - 1) >= 25 else 0
     m = int(compact_pool or 0)
     if m <= 0 or m >= n:
         return 0

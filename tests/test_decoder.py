@@ -537,7 +537,7 @@ def test_compact_pool_auto_resolution():
     they cover all boxes anyway."""
     from ssd_keras_tpu.decoder import _resolve_compact_pool
 
-    assert _resolve_compact_pool("auto", 8732, 81, 400) == 1024
+    assert _resolve_compact_pool("auto", 8732, 81, 400) == 512
     assert _resolve_compact_pool("auto", 8732, 21, 400) == 0
     assert _resolve_compact_pool(None, 8732, 81, 400) == 0
     assert _resolve_compact_pool(0, 8732, 81, 400) == 0
