@@ -45,6 +45,10 @@ def main():
     p.add_argument("--ckpt", default="/tmp/synthvoc_ckpt")
     p.add_argument("--images", type=int, default=300)
     p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--compact", type=int, default=0,
+                   help="cross-class compaction pool for the device decode "
+                        "(decoder.py compact_pool); 0 = off (the r4-pinned "
+                        "configuration)")
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "..", "docs", "benchmarks",
         "evaluator_decode_agreement.md"))
@@ -85,7 +89,8 @@ def main():
     # its default) or the timed pass pays the jit compile.
     jax.device_get(
         decode_detections_fixed(y_warm, img_height=300, img_width=300,
-                                border_pixels="include")
+                                border_pixels="include",
+                                compact_pool=args.compact)
     )
 
     # Upload uint8: SynthVOC pixels are integral and the resize here is the
@@ -93,6 +98,23 @@ def main():
     # tunnel the upload is the shared throughput floor for BOTH paths.
     def run_model(x):
         return fwd(jnp.asarray(np.asarray(x).astype(np.uint8)))
+
+    # Empirical compaction-exactness regime: per image, how many boxes have
+    # ANY non-background class above the 0.01 threshold. Compaction with
+    # pool M is bit-exact whenever this count <= M
+    # (decoder._decode_caffe_batched).
+    elig = jax.jit(lambda y: ((y[..., 1:-12].max(-1) > 0.01).sum(-1)))
+    counts = []
+    for i in range(0, min(len(images), 128), args.batch):
+        b = jnp.asarray(images[i:i + args.batch].astype(np.uint8))
+        counts.append(np.asarray(elig(fwd(b))))
+    counts = np.concatenate(counts)
+    eligible_stats = {
+        "eligible_boxes_mean": round(float(counts.mean()), 1),
+        "eligible_boxes_p99": round(float(np.percentile(counts, 99)), 1),
+        "eligible_boxes_max": int(counts.max()),
+    }
+    print("eligible-box stats:", eligible_stats, flush=True)
 
     results = {}
     for device_decode in (True, False):
@@ -103,11 +125,13 @@ def main():
         ev.predict_on_dataset(
             img_height=300, img_width=300, batch_size=args.batch,
             device_decode=device_decode, verbose=False,
+            decoding_compact_pool=args.compact,
         )
         t0 = time.time()
         ev.predict_on_dataset(
             img_height=300, img_width=300, batch_size=args.batch,
             device_decode=device_decode, verbose=True,
+            decoding_compact_pool=args.compact,
         )
         predict_seconds = time.time() - t0
         ev.get_num_gt_per_class(ignore_neutral_boxes=True, verbose=False)
@@ -131,6 +155,8 @@ def main():
     per_class = np.abs(np.asarray(dev["aps"]) - np.asarray(host["aps"]))[1:]
     record = {
         "images": args.images,
+        "compact_pool": args.compact,
+        **eligible_stats,
         "mAP_device_decode": round(dev["mAP"], 4),
         "mAP_host_decode": round(host["mAP"], 4),
         "abs_delta": round(delta, 5),

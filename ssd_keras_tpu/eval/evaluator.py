@@ -145,6 +145,7 @@ class Evaluator:
         verbose=True,
         ret=False,
         device_decode=True,
+        decoding_compact_pool="auto",
     ):
         """Run the model over the whole dataset and bucket boxes per class.
 
@@ -156,7 +157,9 @@ class Evaluator:
         the static NMS candidate pool (top ``nms_max_output_size`` per
         class, see decoder._decode_caffe_batched for the exactness bound).
         Set False for the host NumPy decoder (the reference's training-mode
-        evaluation behavior, no candidate cap).
+        evaluation behavior, no candidate cap). ``decoding_compact_pool``
+        is the device decoder's cross-class candidate compaction
+        (decoder.py; 'auto' = on at COCO-scale class counts).
         """
         pf = self.pred_format
         transformations = [ConvertTo3Channels()]
@@ -287,6 +290,7 @@ class Evaluator:
                     img_height=img_height,
                     img_width=img_width,
                     border_pixels=decoding_border_pixels,
+                    compact_pool=decoding_compact_pool,
                 )
             pending.append((y_pred, (batch_image_ids, batch_inverse_transforms)))
             if len(pending) >= max_in_flight:
