@@ -50,7 +50,7 @@ from ssd_keras_tpu.data.prefetch import prefetch
 from ssd_keras_tpu.data.synthvoc import SynthVOC
 from ssd_keras_tpu.encoder import pad_labels
 from ssd_keras_tpu.eval.evaluator import Evaluator
-from ssd_keras_tpu.models import ssd_300
+from ssd_keras_tpu.models import ssd_300, ssd_512
 
 from synthvoc_benchmark import build_optimizer, upload_in_chunks
 
@@ -74,20 +74,21 @@ def train_arm(arm, args, cfg, model, encoder, data, curve_path):
         return model.apply({"params": trainer.state.params},
                            jnp.asarray(batch_x))
 
-    val_ds = SynthVOC(args.val_images, 300, split="val", seed=args.seed)
+    size = args.size
+    val_ds = SynthVOC(args.val_images, size, split="val", seed=args.seed)
 
     def evaluate(mode="sample"):
         ev = Evaluator(fwd, 20, val_ds.as_data_generator(val_images, val_labels),
                        model_mode="training")
         mean_ap, aps = ev(
-            img_height=300, img_width=300, batch_size=args.batch,
+            img_height=size, img_width=size, batch_size=args.batch,
             average_precision_mode=mode, return_average_precisions=True,
             verbose=False,
         )
         return float(mean_ap), [float(a) for a in aps]
 
     if arm == "device":
-        aug = DeviceSSDAugmentation(300, 300)
+        aug = DeviceSSDAugmentation(size, size)
         images_d = upload_in_chunks(train_images)
         padded, counts = pad_labels(train_labels, encoder.max_gt_boxes,
                                     truncate=True)
@@ -104,12 +105,12 @@ def train_arm(arm, args, cfg, model, encoder, data, curve_path):
 
         batch_iter = batches()
     else:
-        train_ds = SynthVOC(args.train_images, 300, split="train",
+        train_ds = SynthVOC(args.train_images, size, split="train",
                             seed=args.seed)
         gen = train_ds.as_data_generator(train_images, train_labels).generate(
             batch_size=args.batch,
             shuffle=True,
-            transformations=[SSDDataAugmentation(300, 300)],
+            transformations=[SSDDataAugmentation(size, size)],
             label_encoder=None,
             returns=["processed_images", "processed_labels"],
             keep_images_without_gt=True,
@@ -188,6 +189,9 @@ def main():
     p.add_argument("--warmup", type=int, default=1000)
     p.add_argument("--clipnorm", type=float, default=5.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--model", default="ssd300", choices=("ssd300", "ssd512"),
+                   help="model family for the A/B (VERDICT r4 #5's optional "
+                        "SSD512 leg)")
     p.add_argument("--arms", default="device,host")
     p.add_argument("--save-ckpt", default="",
                    help="directory to save each arm's trained params into "
@@ -198,15 +202,21 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
 
-    cfg = SSDConfig.ssd300(n_classes=20)
-    model, sizes = ssd_300(cfg, compute_dtype=jnp.bfloat16)
+    if args.model == "ssd512":
+        cfg = SSDConfig.ssd512(n_classes=20)
+        model, sizes = ssd_512(cfg, compute_dtype=jnp.bfloat16)
+    else:
+        cfg = SSDConfig.ssd300(n_classes=20)
+        model, sizes = ssd_300(cfg, compute_dtype=jnp.bfloat16)
+    args.size = cfg.img_height
     encoder = SSDInputEncoder(cfg, sizes, max_gt_boxes=16)
 
     print(f"Rendering SynthVOC {args.train_images}/{args.val_images} ...",
           flush=True)
     t0 = time.time()
-    train_ds = SynthVOC(args.train_images, 300, split="train", seed=args.seed)
-    val_ds = SynthVOC(args.val_images, 300, split="val", seed=args.seed)
+    train_ds = SynthVOC(args.train_images, args.size, split="train",
+                        seed=args.seed)
+    val_ds = SynthVOC(args.val_images, args.size, split="val", seed=args.seed)
     train_images, train_labels = train_ds.materialize()
     val_images, val_labels = val_ds.materialize()
     print(f"  rendered in {time.time() - t0:.0f}s", flush=True)
