@@ -197,17 +197,16 @@ def _topk_lanes(scores, k: int, topk_impl: str):
 def _resolve_compact_pool(compact_pool, n, c, pool):
     """Resolve the cross-class compaction pool size.
 
-    ``'auto'``: compaction on at COCO-scale class counts (C-1 >= 25 lanes,
-    where the per-class top-k over all N boxes dominates decode — see
-    docs/benchmarks/profile.md / coco_decode.md; 512 measured best of
-    {256..2048} and +41% end-to-end at 81 classes), off at VOC-scale (where
-    the uncompacted path is the mAP-pinned configuration; M=512 measured
-    +11% there and is available opt-in pending trained-model mAP
-    validation). ``None``/0: off. An int: that many boxes. Always at least
-    the NMS pool so compaction can never shrink a single class's candidate
-    set."""
+    ``'auto'``: compaction on with M=512 whenever the model has more boxes
+    than the pool (512 measured best of {256..2048}: +41% end-to-end at 81
+    classes, +11% at 21 — docs/benchmarks/coco_decode.md). Validated
+    mAP-neutral on a trained SSD300 even in the heavy-truncation regime
+    (1748 eligible boxes/image mean vs M=512: |dmAP| = 0.0004 vs host
+    decode — docs/benchmarks/evaluator_decode_agreement_compact.md).
+    ``None``/0: off. An int: that many boxes. Always at least the NMS pool
+    so compaction can never shrink a single class's candidate set."""
     if compact_pool == "auto":
-        compact_pool = 512 if (c - 1) >= 25 else 0
+        compact_pool = 512
     m = int(compact_pool or 0)
     if m <= 0 or m >= n:
         return 0

@@ -532,13 +532,16 @@ def test_compact_pool_exact_when_eligible_fit():
 
 
 def test_compact_pool_auto_resolution():
-    """'auto' = on (1024-box pool) at COCO-scale class counts, off at VOC
-    scale; explicit ints are clamped up to the NMS pool and disabled when
-    they cover all boxes anyway."""
+    """'auto' = on (512-box pool) whenever the model has more boxes than the
+    pool (mAP-validated in the truncation regime —
+    docs/benchmarks/evaluator_decode_agreement_compact.md); explicit ints
+    are clamped up to the NMS pool and disabled when they cover all boxes
+    anyway."""
     from ssd_keras_tpu.decoder import _resolve_compact_pool
 
     assert _resolve_compact_pool("auto", 8732, 81, 400) == 512
-    assert _resolve_compact_pool("auto", 8732, 21, 400) == 0
+    assert _resolve_compact_pool("auto", 8732, 21, 400) == 512
+    assert _resolve_compact_pool("auto", 400, 21, 400) == 0  # covers all N
     assert _resolve_compact_pool(None, 8732, 81, 400) == 0
     assert _resolve_compact_pool(0, 8732, 81, 400) == 0
     assert _resolve_compact_pool(200, 8732, 81, 400) == 400  # >= NMS pool
