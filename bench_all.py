@@ -136,8 +136,8 @@ def main():
         BASELINE_FPS.get(("ssd300", 8)))
 
     # --- COCO class count (81 incl. background): 4x the decode lanes.
-    # Cross-class candidate compaction (decoder.py compact_pool, auto-on at
-    # this class count) keeps the per-class top-k off the critical path;
+    # Cross-class candidate compaction (decoder.py compact_pool, on by
+    # default) keeps the per-class top-k off the critical path;
     # measurements and exactness bound in docs/benchmarks/coco_decode.md.
     cfg_coco = SSDConfig.ssd300(n_classes=80, dataset="coco")
     model_c, _ = ssd_300(cfg_coco, mode="inference", compute_dtype=jnp.bfloat16)

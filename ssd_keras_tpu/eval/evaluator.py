@@ -159,7 +159,8 @@ class Evaluator:
         Set False for the host NumPy decoder (the reference's training-mode
         evaluation behavior, no candidate cap). ``decoding_compact_pool``
         is the device decoder's cross-class candidate compaction
-        (decoder.py; 'auto' = on at COCO-scale class counts).
+        (decoder.py; 'auto' = on, M=512 — mAP-validated in
+        docs/benchmarks/evaluator_decode_agreement_compact.md).
         """
         pf = self.pred_format
         transformations = [ConvertTo3Channels()]
