@@ -222,7 +222,18 @@ def main():
             "The tunnel's bandwidth drifts ~2x over minutes, so each round "
             "measures ceiling -> stream -> train back-to-back and the "
             "headline fractions are the medians of the per-round "
-            "fractions (raw rounds kept below).\n\n"
+            "fractions (raw rounds kept below; fractions slightly above "
+            "1.0 are that same drift inside a round).\n\n"
+            "History: r4 reported 0.805 — that gap was two measurement/"
+            "construction artifacts, not transfer overlap. The r4 bench "
+            "device_get'd every batch (a full tunnel round-trip each), and "
+            "each `StreamingDeviceInput` built a private `jax.jit` closure, "
+            "so every fresh stream re-traced and re-loaded the fused "
+            "augment+encode program (~11-13 s per stream even with a warm "
+            "persistent compilation cache). r5 chains an on-device checksum "
+            "with one final device_get and shares one jitted program per "
+            "(augmentation, encoder) pair (`data/streaming.py "
+            "_fused_program`); the stream now sits on the link ceiling.\n\n"
         )
         f.write("```json\n" + json.dumps(record, indent=2) + "\n```\n")
     print("RESULT " + json.dumps(record))

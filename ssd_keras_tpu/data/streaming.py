@@ -106,6 +106,29 @@ def host_decode_batches(dataset, batch_size: int, img_height: int,
         yield u8, padded, counts
 
 
+@functools.lru_cache(maxsize=8)
+def _fused_program(device_aug, encoder, typed_key: bool):
+    """One jitted augment+encode program per (device_aug, encoder) pair.
+
+    Shared across :class:`StreamingDeviceInput` instances: a per-instance
+    ``jax.jit`` closure would be a fresh jit cache entry each time, so every
+    new stream over the same pipeline would re-trace and re-load the
+    compiled program (measured at 11-13 s per stream through the access
+    tunnel even with a warm persistent compilation cache, ~8 min cold —
+    docs/benchmarks/streaming_pipeline.md). The small ``lru_cache`` keeps
+    the jitted callable (and with it the in-memory executable) alive for
+    the pipelines in active use.
+    """
+
+    def fused(sub, imgs, lbls, cnts):
+        if typed_key:
+            sub = jax.random.wrap_key_data(sub)
+        aug_imgs, aug_lbls, aug_counts = device_aug(sub, imgs, lbls, cnts)
+        return aug_imgs, encoder.encode_padded(aug_lbls, aug_counts)
+
+    return jax.jit(fused)
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def _split_chain(key, n: int):
     """``n`` iterated ``jax.random.split`` steps in one program.
@@ -130,7 +153,9 @@ class StreamingDeviceInput:
     and PRNG keys — pixels bit-equal, encoded targets to float32 rounding
     (the fused single-program augment+encode may round intermediates 1 ulp
     differently than the two-program direct path; tests/test_streaming.py
-    pins both).
+    pins both). Construction is cheap: the fused program is shared across
+    instances (``_fused_program``), so opening a new stream over an
+    existing pipeline neither re-traces nor re-compiles.
 
     Parameters
     ----------
@@ -193,16 +218,10 @@ class StreamingDeviceInput:
         # One fused augment+encode program: a single launch per batch
         # instead of two. The inner jits' sharding constraints (device_aug
         # and encode_padded carry their own in/out shardings) propagate
-        # through the outer jit unchanged.
-        typed = self._typed_key
-
-        def fused(sub, imgs, lbls, cnts):
-            if typed:
-                sub = jax.random.wrap_key_data(sub)
-            aug_imgs, aug_lbls, aug_counts = device_aug(sub, imgs, lbls, cnts)
-            return aug_imgs, encoder.encode_padded(aug_lbls, aug_counts)
-
-        self._fused = jax.jit(fused)
+        # through the outer jit unchanged. The jitted callable is shared
+        # across instances (see _fused_program) so constructing a new
+        # stream over an existing pipeline costs no re-trace/re-compile.
+        self._fused = _fused_program(device_aug, encoder, self._typed_key)
 
     def _next_subkey(self) -> np.ndarray:
         """Next key of the iterated-split chain, refilled in blocks."""
