@@ -239,7 +239,7 @@ def main():
         md = os.path.join(args.out, "aug_chain_ab.md")
         with open(md, "w") as f:
             f.write("# Augmentation chain A/B: host (reference-parity) vs "
-                    "on-device (SSD300, SynthVOC)\n\n")
+                    f"on-device ({args.model.upper()}, SynthVOC)\n\n")
             f.write(
                 "Same init (seed {}), optimizer (SGD m=0.9, L2 5e-4, peak lr "
                 "{} with {}-step warmup, x0.1 drops at 2/3 and 5/6), batch "

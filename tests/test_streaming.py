@@ -173,3 +173,27 @@ def test_host_decode_batches_sharding_validation():
     with pytest.raises(ValueError, match="needs a seed"):
         next(host_decode_batches(ds, 4, 32, 32, 4, shard_index=0,
                                  num_shards=2))
+
+
+def test_fused_program_shared_across_instances():
+    """Regression (r5): each StreamingDeviceInput used to wrap a private
+    ``jax.jit`` closure, so every new stream over the same (augmentation,
+    encoder) pair re-traced and re-loaded the fused program — 11-13 s per
+    stream through the TPU tunnel even with a warm persistent compilation
+    cache, which is what sank the r4/r5-interim streaming-bench fractions
+    (docs/benchmarks/streaming_pipeline.md). The jitted callable must be
+    one shared object per (aug, encoder, key-style) triple."""
+    aug, enc = _pipeline()
+    key = jax.random.PRNGKey(0)
+    s1 = StreamingDeviceInput(_host_batches(1), aug, enc, key=key,
+                              n_workers=1)
+    s2 = StreamingDeviceInput(_host_batches(1), aug, enc, key=key,
+                              n_workers=1)
+    assert s1._fused is s2._fused
+    # A different pipeline gets its own program.
+    aug2, enc2 = _pipeline()
+    s3 = StreamingDeviceInput(_host_batches(1), aug2, enc2, key=key,
+                              n_workers=1)
+    assert s3._fused is not s1._fused
+    for s in (s1, s2, s3):
+        s.stop()
